@@ -1,0 +1,102 @@
+"""Benchmark: images/sec/chip, BiSeNet-STDC813 inference at 1024x512.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Protocol: N forwards are chained ON DEVICE inside one jit via lax.scan
+with a real (numerically negligible) data dependency between iterations,
+and a single host readback at the end.  This measures pure device
+throughput and is robust to async-dispatch runtimes where
+``block_until_ready`` returns before the computation finishes (observed
+on tunneled backends: naive per-call timing reported >100k img/s,
+physically impossible at ~27 GFLOP/image).
+
+The timed path is the real eval hot path (reference train.py:36-38):
+features at stride 8 -> fused Pallas bilinear-upsample(align_corners)
++argmax on TPU (ops/pallas/upsample_argmax.py), XLA resize+argmax
+elsewhere.
+
+Baseline: the reference publishes no numbers (BASELINE.md); the only
+quantitative anchor in its README is the upstream STDC1-Seg50 capability
+citation of 250.4 FPS on a GTX 1080Ti (reference README.md:83). We report
+vs that anchor; the north-star is >=5x (BASELINE.json).
+"""
+
+import json
+import sys
+import time
+import traceback
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_FPS = 250.4  # STDC1-Seg50 @ 1080Ti, reference README.md:83
+CHAIN = 32            # forwards chained on device per measurement
+
+
+def bench_forward(batch_size: int, height: int = 512, width: int = 1024,
+                  reps: int = 3) -> float:
+    from dasemanticsegmentationaml_tpu.models import BiSeNet
+    from dasemanticsegmentationaml_tpu.models.bisenet import (
+        init_bisenet_variables,
+    )
+    from dasemanticsegmentationaml_tpu.ops.pallas import upsample_argmax
+
+    model = BiSeNet(n_classes=19, dtype=jnp.bfloat16)
+    variables = init_bisenet_variables(model, jax.random.PRNGKey(0),
+                                       (1, height, width, 3))
+
+    @jax.jit
+    def chained(variables, images):
+        def body(carry, _):
+            feat, _f16, _f32 = model.apply(variables, carry, train=False,
+                                           method=type(model).features)
+            pred = upsample_argmax(feat, (height, width))
+            # forge a data dependency on pred so iterations serialize and
+            # nothing is dead-code-eliminated; the perturbation is ~1e-24.
+            s = jnp.sum(pred).astype(jnp.float32) * jnp.float32(1e-30)
+            return carry + s.astype(carry.dtype), jnp.sum(pred)
+        _, sums = jax.lax.scan(body, images, None, length=CHAIN)
+        return sums
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.standard_normal((batch_size, height, width, 3)), jnp.bfloat16)
+
+    np.asarray(chained(variables, images))  # compile + warm
+    best_dt = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(chained(variables, images))  # full host readback = sync
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    return batch_size * CHAIN / best_dt
+
+
+def main():
+    backend = jax.default_backend()
+    batches = [8, 16, 32] if backend == "tpu" else [2]
+    best, best_bs = 0.0, batches[0]
+    for bs in batches:
+        try:
+            fps = bench_forward(bs)
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+            continue
+        print(f"bs={bs}: {fps:.1f} img/s", file=sys.stderr)
+        if fps > best:
+            best, best_bs = fps, bs
+    result = {
+        "metric": "images_per_sec_per_chip_bisenet_stdc813_1024x512_infer",
+        "value": round(best, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(best / BASELINE_FPS, 3),
+        "batch_size": best_bs,
+        "backend": backend,
+        "dtype": "bfloat16",
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,249 @@
+"""CLI entry point -- the reference train.py's three run modes on TPU.
+
+Mode dispatch (reference train.py:511-519):
+  --domain_shift True      -> load checkpoint, evaluate on Cityscapes val
+  --domain_adaptation True -> adversarial GTA5->Cityscapes training
+  otherwise                -> supervised training
+
+Run:  python -m dasemanticsegmentationaml_tpu.cli --dataset GTAV ...
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data import (CityScapes, GtaV, Loader, prepare_batch, train_val_split)
+from .data.datasets import Subset
+from .models import BiSeNet, build_discriminator
+from .models.bisenet import init_bisenet_variables, unused_param_mask
+from .parallel import (create_mesh, batch_sharding, replicate_state,
+                       shard_batch)
+from .train import (create_train_state, evaluate, make_train_step, train,
+                    train_da)
+from .train.optim import make_optimizer
+from .utils import torch_io
+from .utils.config import parse_args
+from .utils.logging_util import JsonlLogger, Profiler, make_writer
+from .utils import orbax_io
+
+
+def _dtype(args):
+    return jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+
+def build_model(args):
+    return BiSeNet(n_classes=args.num_classes,
+                   backbone_name=args.backbone
+                   if args.backbone not in ("CatmodelSmall",)
+                   else "STDCNet813",
+                   use_conv_last=args.use_conv_last,
+                   dtype=_dtype(args))
+
+
+def load_pretrain(variables, pretrain_path: str):
+    """Reference checkpoint dispatch: backbone ``.tar`` iff 'STDCNet' in the
+    path (stdcnet.py:141-144, keys live under the raw backbone namespace and
+    must be prefixed into cp.backbone); full net iff '.pth' in the path
+    (model_stages.py:224-227)."""
+    if not pretrain_path:
+        return variables
+    if "STDCNet" in os.path.basename(pretrain_path):
+        obj = torch_io.read_torch_checkpoint(pretrain_path)
+        if isinstance(obj, dict) and "state_dict" in obj:
+            obj = obj["state_dict"]
+        prefixed = {f"cp.backbone.{torch_io.strip_module_prefix(k)}": v
+                    for k, v in obj.items()}
+        new_vars, report = torch_io.load_into_variables(variables, prefixed)
+        print(f"i'm using pre-trained: {pretrain_path} "
+              f"({len(report['loaded'])} tensors)")
+        return new_vars
+    if ".pth" in pretrain_path:
+        new_vars, report = torch_io.load_pretrained(variables, pretrain_path)
+        print(f"i'm using pre-trained net: {pretrain_path} "
+              f"({len(report['loaded'])} tensors)")
+        return new_vars
+    return variables
+
+
+def make_checkpoint_fn(args, model_kind_main="bisenet"):
+    """Persist reference-compatible .pth + orbax full state."""
+    save_dir = args.save_model_path or "./checkpoints"
+
+    def checkpoint_fn(state, name, dataparallel_prefix=False, model=None):
+        os.makedirs(save_dir, exist_ok=True)
+        variables = {"params": jax.device_get(state.params),
+                     "batch_stats": jax.device_get(state.batch_stats)}
+        torch_state = torch_io.variables_to_torch_state(variables)
+        if dataparallel_prefix:  # reference train.py:282-283 saves module.*
+            torch_state = {f"module.{k}": v for k, v in torch_state.items()}
+        torch_io.write_torch_checkpoint(
+            os.path.join(save_dir, f"{name}.pth"), torch_state)
+        orbax_io.save_train_state(os.path.join(save_dir, "orbax"),
+                                  name, jax.device_get(state))
+
+    return checkpoint_fn
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    dtype = _dtype(args)
+    n_classes = args.num_classes
+
+    mesh = create_mesh(args.num_devices)
+    n_dev = mesh.devices.size
+    batch_sh = batch_sharding(mesh) if n_dev > 1 else None
+
+    # ---- datasets (reference train.py:444-491) ---------------------------
+    # Eval-only mode needs no train split (the reference builds one anyway
+    # and so requires images/train to exist even for --domain_shift; we
+    # don't inherit that requirement).
+    if args.dataset == "GTAV":
+        dataset = GtaV(args.root, args.aug_type, args.crop_height,
+                       args.crop_width, faithful_resize=args.faithful_resize)
+        train_idx, val_idx = train_val_split(len(dataset))
+        train_ds = Subset(dataset, train_idx)
+        val_ds = Subset(dataset, val_idx)
+        remap_train = remap_val = True
+        aug_train = args.aug_type
+    else:
+        train_ds = None if args.domain_shift else CityScapes(
+            "train", args.root, args.crop_height, args.crop_width,
+            faithful_resize=args.faithful_resize)
+        val_ds = CityScapes("val", args.root, args.crop_height,
+                            args.crop_width,
+                            faithful_resize=args.faithful_resize)
+        remap_train = remap_val = False
+        aug_train = None
+
+    loader_train = None if train_ds is None else Loader(
+        train_ds, args.batch_size, shuffle=True, seed=args.seed,
+        num_workers=args.num_workers)
+    loader_val = Loader(val_ds, 1, shuffle=False, drop_last=False,
+                        num_workers=args.num_workers)
+
+    # ---- model ------------------------------------------------------------
+    model = build_model(args)
+    variables = init_bisenet_variables(
+        model, jax.random.PRNGKey(args.seed),
+        (1, args.crop_height, args.crop_width, 3))
+    variables = load_pretrain(variables, args.pretrain_path)
+
+    # ---- prepare fns -------------------------------------------------------
+    rng = jax.random.PRNGKey(args.seed)
+
+    def make_prepare(aug_type, remap):
+        def prepare(batch, epoch=0, it=0):
+            images, labels = batch
+            if batch_sh is not None:
+                images, labels = shard_batch((images, labels), mesh)
+            key = jax.random.fold_in(jax.random.fold_in(rng, epoch), it) \
+                if aug_type else None
+            return prepare_batch(jnp.asarray(images), jnp.asarray(labels),
+                                 key=key, aug_type=aug_type,
+                                 augment_labels=args.augment_labels,
+                                 remap=remap, dtype=dtype)
+        return prepare
+
+    prepare_train = make_prepare(aug_train, remap_train)
+    prepare_val = make_prepare(None, remap_val)
+
+    def evaluate_fn_of(state):
+        return evaluate(
+            model, {"params": state.params,
+                    "batch_stats": state.batch_stats},
+            loader_val, n_classes,
+            prepare=lambda b: prepare_val(b),
+            use_fused_kernel=(args.use_fused_eval
+                              and jax.default_backend() == "tpu"))
+
+    writer = make_writer(args.tensorboard)
+    logger = JsonlLogger(args.jsonl_log)
+    checkpoint_fn = make_checkpoint_fn(args)
+
+    if args.domain_shift:
+        # eval-only mode (reference train.py:511,519)
+        class _S:  # minimal state shim
+            params = variables["params"]
+            batch_stats = variables.get("batch_stats", {})
+        precision, miou = evaluate_fn_of(_S)
+        return {"precision": precision, "miou": miou}
+
+    if args.domain_adaptation:
+        # reference train_DA (train.py:134-299)
+        source_ds = GtaV(args.root_source, args.aug_type, args.crop_height,
+                         args.crop_width,
+                         faithful_resize=args.faithful_resize)
+        target_ds = CityScapes("train", args.root_target, args.crop_height,
+                               args.crop_width,
+                               faithful_resize=args.faithful_resize)
+        loader_source = Loader(source_ds, args.batch_size, shuffle=True,
+                               seed=args.seed, num_workers=args.num_workers)
+        loader_target = Loader(target_ds, args.batch_size, shuffle=True,
+                               seed=args.seed + 1,
+                               num_workers=args.num_workers)
+
+        d_model = build_discriminator(n_classes, args.depthwise,
+                                      args.batch_norm, dtype=dtype)
+        if args.depthwise:
+            print("You are using depthwise separable convolution for the "
+                  "discrminator "
+                  + ("with" if args.batch_norm else "without")
+                  + " batch normalization...")
+        d_vars = d_model.init(
+            jax.random.PRNGKey(args.seed + 2),
+            jnp.zeros((1, args.crop_height, args.crop_width, n_classes)))
+
+        g_opt = make_optimizer("sgd", args.learning_rate,
+                               momentum=args.momentum,
+                               weight_decay=args.weight_decay,
+                               mask=unused_param_mask(
+                                   variables["params"],
+                                   args.use_conv_last))  # train.py:170-171
+        d_opt = make_optimizer("adam", args.learning_rate_D,
+                               betas=(0.9, 0.99))  # train.py:172
+        g_state = create_train_state(variables, g_opt)
+        d_state = create_train_state(d_vars, d_opt)
+        if n_dev > 1:
+            g_state = replicate_state(g_state, mesh)
+            d_state = replicate_state(d_state, mesh)
+
+        g_state, d_state, max_miou = train_da(
+            args, model, d_model, g_state, d_state, g_opt, d_opt,
+            loader_source, loader_target,
+            prepare_source=make_prepare(args.aug_type, True),
+            prepare_target=make_prepare(None, False),
+            evaluate_fn=evaluate_fn_of, writer=writer, logger=logger,
+            checkpoint_fn=checkpoint_fn, d_head=args.d_head)
+        precision, miou = evaluate_fn_of(g_state)
+        return {"precision": precision, "miou": miou,
+                "max_miou": max_miou}
+
+    # ---- supervised (reference train.py:63-120) ---------------------------
+    wd = {"sgd": 1e-4}.get(args.optimizer, 0.0)  # train.py:504 hardcodes 1e-4
+    opt = make_optimizer(args.optimizer, args.learning_rate, momentum=0.9,
+                         weight_decay=wd,
+                         mask=unused_param_mask(variables["params"],
+                                                args.use_conv_last))
+    if args.iter_size > 1:
+        import optax
+
+        opt = optax.MultiSteps(opt, every_k_schedule=args.iter_size)
+    state = create_train_state(variables, opt)
+    if n_dev > 1:
+        state = replicate_state(state, mesh)
+
+    state, max_miou = train(
+        args, model, state, opt, loader_train, loader_val,
+        prepare=prepare_train, evaluate_fn=evaluate_fn_of, writer=writer,
+        logger=logger, checkpoint_fn=checkpoint_fn)
+    precision, miou = evaluate_fn_of(state)
+    return {"precision": precision, "miou": miou, "max_miou": max_miou}
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,295 @@
+"""On-device augmentation kernels (jittable, batched, jax.random-keyed).
+
+The reference augments on host with torchvision-on-PIL transforms inside
+DataLoader workers (reference GTAV.py:32-59):
+
+  CS-HF : ColorJitter(contrast=[2,5]) -> ColorJitter(saturation=[1,3])
+          -> RandomHorizontalFlip(p=1)
+  H-RP  : ColorJitter(hue=0.2) -> RandomPerspective(p=1, distortion=0.5)
+  B-GS-R: ColorJitter(brightness=[1,2]) -> Grayscale(3)
+          -> RandomRotation(degrees=90)
+
+each wrapped in RandomApply(p=0.5) (GTAV.py:51). Here they are device code:
+the VPU does the color math, the warp is a fused gather, and every sample in
+the batch gets its own fold-in key -- the host ships raw uint8 only.
+
+Faithfulness notes:
+* color ops follow the PIL/ImageEnhance float formulation (blend against
+  black/mean/grayscale); PIL additionally truncates intermediates to uint8,
+  a <1/255 deviation we accept (these feed training augmentation, not
+  checkpoint-parity eval).
+* the reference applies augmentation to the IMAGE ONLY, leaving labels
+  unwarped and therefore misaligned under flip/perspective/rotation
+  (reference GTAV.py:87-89; SURVEY.md section 4 bug 5). ``augment_labels``
+  toggles the corrected behavior (geometric ops mirrored onto labels with
+  nearest sampling and ignore-fill 255).
+* RandomPerspective corner sampling reproduces torchvision's integer-uniform
+  distribution; RandomRotation uses NEAREST and RandomPerspective BILINEAR
+  (torchvision defaults the reference relies on).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+IGNORE_FILL = 255.0
+
+
+# ------------------------------------------------------------- color ops
+def rgb_to_grayscale(img: jax.Array) -> jax.Array:
+    """ITU-R 601-2 luma (PIL convert('L') weights). img float [0,255] HWC."""
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    return r * (299 / 1000) + g * (587 / 1000) + b * (114 / 1000)
+
+
+def _clip(img: jax.Array) -> jax.Array:
+    return jnp.clip(img, 0.0, 255.0)
+
+
+def adjust_brightness(img: jax.Array, factor: jax.Array) -> jax.Array:
+    return _clip(img * factor)
+
+
+def adjust_contrast(img: jax.Array, factor: jax.Array) -> jax.Array:
+    # PIL ImageEnhance.Contrast: blend against the mean of the L channel
+    # (rounded to int in PIL; we keep float).
+    mean = jnp.mean(rgb_to_grayscale(img))
+    return _clip((img - mean) * factor + mean)
+
+
+def adjust_saturation(img: jax.Array, factor: jax.Array) -> jax.Array:
+    gray = rgb_to_grayscale(img)[..., None]
+    return _clip((img - gray) * factor + gray)
+
+
+def adjust_hue(img: jax.Array, hue_shift: jax.Array) -> jax.Array:
+    """hue_shift in [-0.5, 0.5] (fraction of the hue circle)."""
+    x = img / 255.0
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    maxc = jnp.maximum(jnp.maximum(r, g), b)
+    minc = jnp.minimum(jnp.minimum(r, g), b)
+    v = maxc
+    c = maxc - minc
+    safe_c = jnp.where(c == 0, 1.0, c)
+    rc = (maxc - r) / safe_c
+    gc = (maxc - g) / safe_c
+    bc = (maxc - b) / safe_c
+    h = jnp.where(r == maxc, bc - gc,
+                  jnp.where(g == maxc, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = jnp.where(c == 0, 0.0, (h / 6.0) % 1.0)
+    s = jnp.where(maxc == 0, 0.0, c / jnp.where(maxc == 0, 1.0, maxc))
+
+    h = (h + hue_shift) % 1.0
+
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r2 = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
+    g2 = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
+    b2 = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+    return _clip(jnp.stack([r2, g2, b2], axis=-1) * 255.0)
+
+
+def to_grayscale3(img: jax.Array) -> jax.Array:
+    gray = rgb_to_grayscale(img)
+    return jnp.repeat(gray[..., None], 3, axis=-1)
+
+
+def hflip(img: jax.Array) -> jax.Array:
+    return img[:, ::-1, ...]
+
+
+# -------------------------------------------------------------- geometry
+def perspective_coeffs(src_pts: jax.Array, dst_pts: jax.Array) -> jax.Array:
+    """8 coeffs (a..h) of the homography mapping dst (x,y) -> src (x,y).
+
+    Same linear system torchvision/PIL solve (_get_perspective_coeffs):
+    src_x = (a x + b y + c) / (g x + h y + 1), analogous for y.
+    src_pts/dst_pts: (4, 2) float (x, y) order.
+    """
+    rows = []
+    rhs = []
+    for k in range(4):
+        x, y = dst_pts[k, 0], dst_pts[k, 1]
+        X, Y = src_pts[k, 0], src_pts[k, 1]
+        rows.append(jnp.stack([x, y, jnp.ones(()), jnp.zeros(()),
+                               jnp.zeros(()), jnp.zeros(()),
+                               -x * X, -y * X]))
+        rhs.append(X)
+        rows.append(jnp.stack([jnp.zeros(()), jnp.zeros(()), jnp.zeros(()),
+                               x, y, jnp.ones(()), -x * Y, -y * Y]))
+        rhs.append(Y)
+    A = jnp.stack(rows)
+    b = jnp.stack(rhs)
+    return jnp.linalg.solve(A, b)
+
+
+def _source_coords(h: int, w: int, coeffs: jax.Array):
+    """Continuous source coordinates for every output pixel (PIL convention:
+    evaluate the inverse map at pixel centers +0.5, shift back -0.5)."""
+    ys = jnp.arange(h, dtype=jnp.float32) + 0.5
+    xs = jnp.arange(w, dtype=jnp.float32) + 0.5
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+    a, b, c, d, e, f, g, hh = [coeffs[i] for i in range(8)]
+    den = g * xx + hh * yy + 1.0
+    sx = (a * xx + b * yy + c) / den - 0.5
+    sy = (d * xx + e * yy + f) / den - 0.5
+    return sx, sy
+
+
+def warp(img: jax.Array, coeffs: jax.Array, mode: str = "bilinear",
+         fill: float = 0.0) -> jax.Array:
+    """Inverse-warp an HWC (or HW) image by homography coeffs (dst->src)."""
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    h, w, _ = img.shape
+    sx, sy = _source_coords(h, w, coeffs)
+    oob = (sx < -0.5) | (sx > w - 0.5) | (sy < -0.5) | (sy > h - 0.5)
+
+    if mode == "nearest":
+        ix = jnp.clip(jnp.round(sx).astype(jnp.int32), 0, w - 1)
+        iy = jnp.clip(jnp.round(sy).astype(jnp.int32), 0, h - 1)
+        out = img[iy, ix]
+    else:
+        x0 = jnp.floor(sx)
+        y0 = jnp.floor(sy)
+        wx = sx - x0
+        wy = sy - y0
+        x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+        x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
+        y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+        y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+        f = img.astype(jnp.float32)
+        top = f[y0i, x0i] * (1 - wx)[..., None] + f[y0i, x1i] * wx[..., None]
+        bot = f[y1i, x0i] * (1 - wx)[..., None] + f[y1i, x1i] * wx[..., None]
+        out = top * (1 - wy)[..., None] + bot * wy[..., None]
+
+    out = jnp.where(oob[..., None], jnp.asarray(fill, out.dtype), out)
+    if squeeze:
+        out = out[..., 0]
+    return out
+
+
+def rotation_coeffs(angle_deg: jax.Array, h: int, w: int) -> jax.Array:
+    """Affine (as homography) coeffs for PIL-style rotate(angle, expand=False):
+    counterclockwise rotation about the image center (w/2, h/2)."""
+    # In y-down image coordinates the inverse map of a PIL CCW rotation is a
+    # rotation by +angle (verified exact against PIL.Image.rotate NEAREST).
+    theta = angle_deg * jnp.pi / 180.0
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    cx, cy = w * 0.5, h * 0.5
+    # src = R @ (dst - center) + center
+    a = cos
+    b = -sin
+    c = cx - cx * cos + cy * sin
+    d = sin
+    e = cos
+    f = cy - cx * sin - cy * cos
+    return jnp.stack([a, b, c, d, e, f, jnp.zeros(()), jnp.zeros(())])
+
+
+def sample_perspective_endpoints(key: jax.Array, h: int, w: int,
+                                 distortion: float = 0.5):
+    """torchvision RandomPerspective.get_params integer-corner sampling."""
+    half_h, half_w = h // 2, w // 2
+    dh = int(distortion * half_h)
+    dw = int(distortion * half_w)
+    ks = jax.random.split(key, 8)
+    ri = lambda k, lo, hi: jax.random.randint(k, (), lo, hi).astype(jnp.float32)
+    topleft = (ri(ks[0], 0, dw + 1), ri(ks[1], 0, dh + 1))
+    topright = (ri(ks[2], w - dw - 1, w), ri(ks[3], 0, dh + 1))
+    botright = (ri(ks[4], w - dw - 1, w), ri(ks[5], h - dh - 1, h))
+    botleft = (ri(ks[6], 0, dw + 1), ri(ks[7], h - dh - 1, h))
+    start = jnp.array([[0.0, 0.0], [w - 1.0, 0.0],
+                       [w - 1.0, h - 1.0], [0.0, h - 1.0]], jnp.float32)
+    end = jnp.array([topleft, topright, botright, botleft], jnp.float32)
+    return start, end
+
+
+# ----------------------------------------------------- composed families
+def _aug_cs_hf(img, label, key, augment_labels):
+    kc, ks = jax.random.split(key)
+    img = adjust_contrast(img, jax.random.uniform(kc, (), minval=2.0,
+                                                  maxval=5.0))
+    img = adjust_saturation(img, jax.random.uniform(ks, (), minval=1.0,
+                                                    maxval=3.0))
+    img = hflip(img)
+    if augment_labels:
+        label = label[:, ::-1]
+    return img, label
+
+
+def _aug_h_rp(img, label, key, augment_labels):
+    kh, kp = jax.random.split(key)
+    img = adjust_hue(img, jax.random.uniform(kh, (), minval=-0.2, maxval=0.2))
+    h, w = img.shape[0], img.shape[1]
+    start, end = sample_perspective_endpoints(kp, h, w, 0.5)
+    coeffs = perspective_coeffs(start, end)
+    img = warp(img, coeffs, mode="bilinear", fill=0.0)
+    if augment_labels:
+        label = warp(label.astype(jnp.float32), coeffs, mode="nearest",
+                     fill=IGNORE_FILL).astype(label.dtype)
+    return img, label
+
+
+def _aug_b_gs_r(img, label, key, augment_labels):
+    kb, kr = jax.random.split(key)
+    img = adjust_brightness(img, jax.random.uniform(kb, (), minval=1.0,
+                                                    maxval=2.0))
+    img = to_grayscale3(img)
+    angle = jax.random.uniform(kr, (), minval=-90.0, maxval=90.0)
+    h, w = img.shape[0], img.shape[1]
+    coeffs = rotation_coeffs(angle, h, w)
+    img = warp(img, coeffs, mode="nearest", fill=0.0)
+    if augment_labels:
+        label = warp(label.astype(jnp.float32), coeffs, mode="nearest",
+                     fill=IGNORE_FILL).astype(label.dtype)
+    return img, label
+
+
+_FAMILIES = {"CS-HF": _aug_cs_hf, "H-RP": _aug_h_rp, "B-GS-R": _aug_b_gs_r}
+
+
+def augment_sample(img: jax.Array, label: jax.Array, key: jax.Array,
+                   aug_type: Optional[str],
+                   augment_labels: bool = False,
+                   apply_prob: float = 0.5):
+    """RandomApply(p=0.5)-wrapped family on one sample.
+
+    img: HWC float32 in [0, 255]; label: HW integer.
+    """
+    if aug_type is None:
+        return img, label
+    fam = _FAMILIES[aug_type]
+    k_apply, k_aug = jax.random.split(key)
+    do = jax.random.uniform(k_apply, ()) < apply_prob
+
+    def yes(args):
+        i, l = args
+        return fam(i, l, k_aug, augment_labels)
+
+    def no(args):
+        return args
+
+    return jax.lax.cond(do, yes, no, (img, label))
+
+
+def augment_batch(imgs: jax.Array, labels: jax.Array, key: jax.Array,
+                  aug_type: Optional[str], augment_labels: bool = False,
+                  apply_prob: float = 0.5):
+    """Per-sample keyed batch augmentation (vmapped)."""
+    if aug_type is None:
+        return imgs, labels
+    keys = jax.random.split(key, imgs.shape[0])
+    fn = functools.partial(augment_sample, aug_type=aug_type,
+                           augment_labels=augment_labels,
+                           apply_prob=apply_prob)
+    return jax.vmap(fn)(imgs, labels, keys)

@@ -1,0 +1,148 @@
+"""Input pipeline: host batching/prefetch + on-device batch preparation.
+
+Replaces the reference's torch DataLoader worker processes
+(reference train.py:465-491) with a TPU-first split:
+
+  host (threads): decode + PIL-faithful resize -> raw uint8 batches
+  device (jit):   u8 -> float, augmentation families, ImageNet normalize,
+                  256-entry label LUT remap, dtype cast (bf16)
+
+Shipping uint8 and normalizing on device cuts host->HBM traffic 4x vs
+shipping normalized fp32 (SURVEY.md section 2.2 row 5). ``device_prefetch``
+keeps a configurable number of batches in flight ahead of the step loop
+(double buffering), so the 11.5M-param model never waits on the host.
+"""
+
+from __future__ import annotations
+
+import collections
+import concurrent.futures as futures
+import threading
+from functools import partial
+from typing import Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .augment import augment_batch
+from .labels import train_id_lut
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+@partial(jax.jit, static_argnames=("aug_type", "augment_labels", "remap",
+                                   "dtype"))
+def prepare_batch(images_u8: jax.Array, labels_u8: jax.Array,
+                  key: Optional[jax.Array] = None,
+                  aug_type: Optional[str] = None,
+                  augment_labels: bool = False,
+                  remap: bool = False,
+                  dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
+    """uint8 NHWC images + uint8 NHW labels -> normalized images + int32
+    labels. Augmentation (if any) runs on the [0,255] float scale, matching
+    the reference's PIL-before-ToTensor ordering (reference GTAV.py:87)."""
+    imgs = images_u8.astype(jnp.float32)
+    labels = labels_u8
+    if aug_type is not None:
+        if key is None:
+            raise ValueError("augmentation requires a PRNG key")
+        imgs, labels = augment_batch(imgs, labels, key, aug_type,
+                                     augment_labels)
+    imgs = imgs / 255.0
+    imgs = (imgs - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+    imgs = imgs.astype(dtype)
+    if remap:
+        lut = jnp.asarray(train_id_lut())
+        labels = lut[labels.astype(jnp.int32)]
+    labels = labels.astype(jnp.int32)
+    return imgs, labels
+
+
+class Loader:
+    """Shuffling, batching host loader with a decode thread pool.
+
+    Matches reference DataLoader semantics: per-epoch reshuffle, drop_last
+    (reference train.py:465-470). Deterministic given (seed, epoch).
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, drop_last: bool = True,
+                 num_workers: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def _order(self) -> np.ndarray:
+        n = len(self.dataset)
+        if not self.shuffle:
+            return np.arange(n)
+        rng = np.random.default_rng((self.seed, self._epoch))
+        return rng.permutation(n)
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        order = self._order()
+        n_batches = len(self)
+        bs = self.batch_size
+
+        with futures.ThreadPoolExecutor(self.num_workers) as pool:
+            # Pipeline: keep up to 2 batches of sample futures in flight.
+            pending = collections.deque()
+
+            def submit(batch_idx):
+                idxs = order[batch_idx * bs:(batch_idx + 1) * bs]
+                pending.append([pool.submit(self.dataset.__getitem__, int(i))
+                                for i in idxs])
+
+            ahead = min(2, n_batches)
+            for b in range(ahead):
+                submit(b)
+            for b in range(n_batches):
+                if b + ahead < n_batches:
+                    submit(b + ahead)
+                samples = [f.result() for f in pending.popleft()]
+                images = np.stack([s[0] for s in samples])
+                labels = np.stack([s[1] for s in samples])
+                yield images, labels
+
+
+def device_prefetch(iterator, depth: int = 2, sharding=None):
+    """Move host batches to device ahead of consumption (double buffering).
+
+    sharding: optional jax.sharding.Sharding for the batch (data-parallel
+    meshes); default is the single default device.
+    """
+    queue = collections.deque()
+
+    def put(host_batch):
+        if sharding is not None:
+            return tuple(jax.device_put(x, sharding) for x in host_batch)
+        return tuple(jax.device_put(x) for x in host_batch)
+
+    it = iter(iterator)
+    try:
+        for _ in range(depth):
+            queue.append(put(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        nxt = queue.popleft()
+        try:
+            queue.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield nxt

@@ -1,0 +1,111 @@
+"""HPO experiment runner (reference experiment_nni.py equivalent).
+
+With nni installed: configures a local NNI experiment (Anneal tuner,
+maximize mIoU, max 10 trials / concurrency 1 / 12h -- reference
+experiment_nni.py:124-143), with the reference's bugs fixed:
+  * --aug_type IS forwarded to trials (the reference omits it, so its NNI
+    trials silently trained unaugmented -- experiment_nni.py:130-136;
+    SURVEY.md section 4 bug 9);
+  * trial failures are surfaced instead of swallowed by a bare
+    ``except: pass`` port scan (experiment_nni.py:146-152).
+
+Without nni (this image): a built-in sequential runner with the AnnealTuner
+fallback drives trials in subprocesses (the same process-isolation boundary
+NNI uses) and records intermediate/final mIoU to a JSONL results file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from typing import Dict, List, Optional
+
+from .search import SEARCH_SPACE, AnnealTuner
+
+
+def _nni_available() -> bool:
+    try:
+        import nni  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _trial_command(args_list: List[str]) -> List[str]:
+    return [sys.executable, "-m",
+            "dasemanticsegmentationaml_tpu.hpo.trial"] + args_list
+
+
+def run_experiment(static_args: Optional[List[str]] = None,
+                   max_trials: int = 10, concurrency: int = 1,
+                   max_hours: float = 12.0, seed: int = 0,
+                   results_path: str = "./nni_results.jsonl",
+                   use_nni: Optional[bool] = None) -> Dict:
+    """Run the HPO sweep; returns {'best_params', 'best_miou', 'trials'}."""
+    static_args = list(static_args or [])
+    if use_nni is None:
+        use_nni = _nni_available()
+
+    if use_nni:  # pragma: no cover - nni not in the test image
+        from nni.experiment import Experiment
+
+        exp = Experiment("local")
+        exp.config.trial_command = " ".join(_trial_command(static_args))
+        exp.config.trial_code_directory = os.getcwd()
+        exp.config.search_space = SEARCH_SPACE
+        exp.config.tuner.name = "Anneal"
+        exp.config.tuner.class_args = {"optimize_mode": "maximize"}
+        exp.config.max_trial_number = max_trials
+        exp.config.trial_concurrency = concurrency
+        exp.config.max_experiment_duration = f"{max_hours}h"
+        last_err = None
+        for port in range(8030, 8090):
+            try:
+                exp.run(port)
+                return {"nni": True, "port": port}
+            except Exception as e:  # surface, don't swallow silently
+                last_err = e
+        raise RuntimeError(f"no free NNI port in 8030-8089: {last_err}")
+
+    # ---- built-in sequential fallback ------------------------------------
+    tuner = AnnealTuner(seed=seed)
+    deadline = time.time() + max_hours * 3600
+    trials = []
+    os.makedirs(os.path.dirname(os.path.abspath(results_path)),
+                exist_ok=True)
+    for trial_id in range(max_trials):
+        if time.time() > deadline:
+            break
+        params = tuner.generate_parameters()
+        out_path = f"{results_path}.trial{trial_id}"
+        cmd = _trial_command(static_args + [
+            "--nni_params", json.dumps(params),
+            "--nni_output", out_path,
+        ])
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        miou = 0.0
+        if proc.returncode == 0 and os.path.exists(out_path):
+            with open(out_path) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    if rec.get("type") == "final":
+                        miou = float(rec["value"])
+        else:
+            print(f"trial {trial_id} failed:\n{proc.stderr[-2000:]}",
+                  file=sys.stderr)
+        tuner.receive_trial_result(params, miou)
+        trials.append({"id": trial_id, "params": params, "miou": miou})
+        with open(results_path, "a") as f:
+            f.write(json.dumps(trials[-1]) + "\n")
+
+    best = tuner.best
+    return {
+        "nni": False,
+        "trials": trials,
+        "best_params": best[0] if best else None,
+        "best_miou": best[1] if best else None,
+    }

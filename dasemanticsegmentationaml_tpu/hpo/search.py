@@ -1,0 +1,89 @@
+"""Search space + tuner.
+
+The space reproduces reference experiment_nni.py:107-114:
+
+  batch_size    randint   [2, 12]
+  lr            loguniform[1e-4, 0.1]
+  lr_D1         loguniform[1e-6, 1e-3]
+  num_epochs    randint   [15, 50]
+  lambda_adv1   uniform   [1e-5, 1e-3]
+  weight_decay  uniform   [1e-5, 0.01]
+
+maximizing mIoU with NNI's Anneal tuner (experiment_nni.py:124-127). When
+nni is unavailable we provide ``AnnealTuner``: simulated annealing in the
+normalized unit cube -- start from random samples, then perturb the best
+observed point with a temperature that decays per trial (the same family of
+strategy as NNI's Anneal).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Dict, List, Optional, Tuple
+
+SEARCH_SPACE = {
+    "batch_size": {"_type": "randint", "_value": [2, 12]},
+    "lr": {"_type": "loguniform", "_value": [1e-4, 0.1]},
+    "lr_D1": {"_type": "loguniform", "_value": [1e-6, 1e-3]},
+    "num_epochs": {"_type": "randint", "_value": [15, 50]},
+    "lambda_adv1": {"_type": "uniform", "_value": [1e-5, 1e-3]},
+    "weight_decay": {"_type": "uniform", "_value": [1e-5, 0.01]},
+}
+
+
+def _to_unit(name: str, value: float) -> float:
+    spec = SEARCH_SPACE[name]
+    lo, hi = spec["_value"]
+    if spec["_type"] == "loguniform":
+        return (math.log(value) - math.log(lo)) / (math.log(hi) -
+                                                   math.log(lo))
+    return (value - lo) / (hi - lo)
+
+
+def _from_unit(name: str, u: float):
+    spec = SEARCH_SPACE[name]
+    lo, hi = spec["_value"]
+    u = min(max(u, 0.0), 1.0)
+    if spec["_type"] == "loguniform":
+        v = math.exp(math.log(lo) + u * (math.log(hi) - math.log(lo)))
+        return v
+    v = lo + u * (hi - lo)
+    if spec["_type"] == "randint":
+        return int(min(max(round(v), lo), hi - 1))
+    return v
+
+
+def sample_space(rng: random.Random) -> Dict:
+    return {name: _from_unit(name, rng.random()) for name in SEARCH_SPACE}
+
+
+class AnnealTuner:
+    """Maximizing simulated-annealing tuner over the unit cube."""
+
+    def __init__(self, seed: int = 0, t0: float = 1.0, decay: float = 0.85):
+        self.rng = random.Random(seed)
+        self.t = t0
+        self.decay = decay
+        self.history: List[Tuple[Dict, float]] = []
+
+    def generate_parameters(self) -> Dict:
+        if not self.history:
+            return sample_space(self.rng)
+        best_params, _ = max(self.history, key=lambda kv: kv[1])
+        params = {}
+        for name in SEARCH_SPACE:
+            u = _to_unit(name, best_params[name])
+            u += self.rng.gauss(0.0, 0.3) * self.t
+            params[name] = _from_unit(name, u)
+        return params
+
+    def receive_trial_result(self, params: Dict, value: float) -> None:
+        self.history.append((params, value))
+        self.t *= self.decay
+
+    @property
+    def best(self) -> Optional[Tuple[Dict, float]]:
+        if not self.history:
+            return None
+        return max(self.history, key=lambda kv: kv[1])

@@ -1,0 +1,105 @@
+"""HPO trial entry point (reference train_nni.py equivalent).
+
+Differences from the main trainer, mirrored from the reference
+(SURVEY.md section 2.1 NNI row):
+  * discriminator is always the full FCDiscriminator (train_nni.py:68);
+  * D consumes the out32 auxiliary head (train_nni.py:135,150,156)
+    -> --d_head 2;
+  * hyperparameters come from the tuner (batch_size, lr, lr_D1,
+    num_epochs, lambda_adv1, weight_decay -- train_nni.py:58,305);
+  * intermediate mIoU reported per validation epoch and the max at the end
+    (train_nni.py:194-195).
+
+The reference trial script's latent crashes are fixed: its GtaV ctor arity
+bug (train_nni.py:71 passes 5 args to a 4-param __init__) and missing ``os``
+import (train_nni.py:182) simply don't exist here, and the poly-LR bug
+(train_nni.py:98 decays ``optimizer`` twice instead of optimizer_D1) is
+implemented correctly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Optional
+
+
+class _Reporter:
+    """nni.report_* when available, JSONL file otherwise."""
+
+    def __init__(self, output: Optional[str]):
+        self.output = output
+        try:
+            import nni
+
+            self.nni = nni
+        except ImportError:
+            self.nni = None
+
+    def intermediate(self, value: float):
+        if self.nni is not None:
+            self.nni.report_intermediate_result(value)
+        if self.output:
+            with open(self.output, "a") as f:
+                f.write(json.dumps({"type": "intermediate",
+                                    "value": value}) + "\n")
+
+    def final(self, value: float):
+        if self.nni is not None:
+            self.nni.report_final_result(value)
+        if self.output:
+            with open(self.output, "a") as f:
+                f.write(json.dumps({"type": "final", "value": value}) + "\n")
+
+
+def get_params(args) -> dict:
+    if args.nni_params:
+        return json.loads(args.nni_params)
+    try:
+        import nni
+
+        return nni.get_next_parameter()
+    except ImportError:
+        return {}
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--nni_params", type=str, default=None)
+    parser.add_argument("--nni_output", type=str, default=None)
+    known, passthrough = parser.parse_known_args(argv)
+
+    params = get_params(known)
+    reporter = _Reporter(known.nni_output)
+
+    from ..utils.config import parse_args
+    from .. import cli
+
+    cli_args = passthrough + [
+        "--domain_adaptation", "True",
+        "--d_head", "2",                 # train_nni.py:135 out32 head
+        "--depthwise", "False",          # train_nni.py:68 always FCD
+    ]
+    if "batch_size" in params:
+        cli_args += ["--batch_size", str(int(params["batch_size"]))]
+    if "lr" in params:
+        cli_args += ["--learning_rate", str(params["lr"])]
+    if "lr_D1" in params:
+        cli_args += ["--learning_rate_D", str(params["lr_D1"])]
+    if "num_epochs" in params:
+        cli_args += ["--num_epochs", str(int(params["num_epochs"]))]
+    if "lambda_adv1" in params:
+        cli_args += ["--lambda_adv_target1", str(params["lambda_adv1"])]
+    if "weight_decay" in params:
+        cli_args += ["--weight_decay", str(params["weight_decay"])]
+
+    result = cli.main(cli_args)
+    miou = float(result.get("max_miou") or result.get("miou") or 0.0)
+    reporter.intermediate(miou)
+    reporter.final(miou)
+    return miou
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,57 @@
+"""Learning-rate schedules.
+
+The reference decays the LR once per *epoch* with a polynomial schedule
+(reference utils.py:11-26): ``lr = init_lr * (1 - iter/max_iter) ** power``.
+
+Two distinct usages exist and both are capabilities here:
+
+* Supervised ``train``: the base LR is always ``args.learning_rate``
+  (reference train.py:71) -- the standard, non-compounding poly schedule.
+* Adversarial ``train_DA``: the *current* LR is fed back as ``init_lr`` each
+  epoch (reference train.py:185-186: ``lr = poly_lr_scheduler(optimizer, lr,
+  epoch, ...)``), so the decay compounds:
+  ``lr_{e+1} = lr_e * (1 - e/E) ** power``.
+
+``PolyLR`` models both; the scalar LR is passed into the jitted train step
+each epoch (host-side schedule, device-side use), which keeps the step
+function cacheable across the whole run.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+def poly_lr(
+    init_lr: float, iteration: int, max_iter: int = 300, power: float = 0.9
+) -> float:
+    """Reference utils.py:24 formula."""
+    return init_lr * (1.0 - iteration / max_iter) ** power
+
+
+@dataclass
+class PolyLR:
+    """Stateful per-epoch poly LR.
+
+    mode='standard'    lr(e) = base * (1 - e/E)^p          (reference train.py:71)
+    mode='compounding' lr(e) = lr(e-1) * (1 - e/E)^p       (reference train.py:185)
+    """
+
+    base_lr: float
+    max_iter: int
+    power: float = 0.9
+    mode: str = "standard"
+
+    def __post_init__(self):
+        if self.mode not in ("standard", "compounding"):
+            raise ValueError(f"unknown PolyLR mode: {self.mode}")
+        self._current = self.base_lr
+
+    def __call__(self, epoch: int) -> float:
+        if self.mode == "standard":
+            self._current = poly_lr(self.base_lr, epoch, self.max_iter, self.power)
+        else:
+            self._current = poly_lr(
+                self._current, epoch, self.max_iter, self.power
+            )
+        return self._current

@@ -1,0 +1,173 @@
+"""ICI-mesh data parallelism.
+
+The reference's only parallelism is single-process ``torch.nn.DataParallel``
+(reference train.py:497,145-152): replicate the module, scatter the batch
+over CUDA streams, gather outputs, reduce grads onto device 0, with
+per-replica (unsynced) BatchNorm stats (SURVEY.md section 5.8).
+
+The TPU-native equivalent here:
+
+* one ``jax.sharding.Mesh`` over the chips, axes ('data',) by default, or
+  ('dcn', 'data') for multi-host (slice the DCN axis across hosts, batch
+  within a host over ICI);
+* params/optimizer state replicated, the batch sharded on 'data';
+* gradient all-reduce is inserted by XLA SPMD (replacing DataParallel's
+  gather-to-device-0 with a ``psum`` riding the ICI torus);
+* two BatchNorm modes:
+    - sync_bn=True (default): global-jit semantics -- BN statistics are
+      computed over the GLOBAL batch. Mathematically the "correct" sync-BN.
+    - sync_bn=False: reference-faithful per-replica stats via ``shard_map``
+      (each shard normalizes with its local batch; gradients are averaged
+      with ``lax.pmean``, matching DataParallel's mean-reduced grads).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.losses import cross_entropy_ignore
+from ..train.optim import set_learning_rate
+from ..train.state import TrainState
+
+DATA_AXIS = "data"
+
+
+def create_mesh(num_devices: Optional[int] = None,
+                devices: Optional[Sequence] = None,
+                axis_name: str = DATA_AXIS) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
+    """device_put host arrays with the batch dim split over the mesh."""
+    sh = batch_sharding(mesh, axis_name)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate_state(state, mesh: Mesh):
+    """Replicate a train state (or any pytree) across the mesh.
+
+    Goes through a jitted identity rather than ``device_put`` so the
+    result owns FRESH buffers: ``device_put`` aliases the source buffer
+    for the shard living on the origin device, and a later
+    ``donate_argnums`` train step would then delete the caller's
+    original arrays out from under it.
+    """
+    sh = replicated_sharding(mesh)
+    shardings = jax.tree.map(lambda _: sh, state)
+    return jax.jit(lambda x: x, out_shardings=shardings)(state)
+
+
+def make_sharded_train_step(model, optimizer, mesh: Mesh, *,
+                            sync_bn: bool = True,
+                            ignore_index: int = 255,
+                            axis_name: str = DATA_AXIS):
+    """Data-parallel supervised train step over the mesh.
+
+    sync_bn=True  -> jit + shardings; XLA SPMD computes global-batch BN
+                     stats and inserts the gradient psum.
+    sync_bn=False -> shard_map per-replica step (DataParallel-faithful BN),
+                     grads pmean'd across 'data'.
+    """
+
+    def loss_and_stats(params, batch_stats, images, labels):
+        (out, out16, out32), mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images, train=True, mutable=["batch_stats"])
+        loss = (cross_entropy_ignore(out, labels, ignore_index)
+                + cross_entropy_ignore(out16, labels, ignore_index)
+                + cross_entropy_ignore(out32, labels, ignore_index))
+        return loss, mutated["batch_stats"]
+
+    def apply_updates(state, grads, loss, new_stats, lr):
+        opt_state = set_learning_rate(state.opt_state, lr)
+        updates, new_opt_state = optimizer.update(grads, opt_state,
+                                                  state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        return TrainState(params=new_params, batch_stats=new_stats,
+                          opt_state=new_opt_state,
+                          step=state.step + 1), loss
+
+    if sync_bn:
+        def step(state, images, labels, lr):
+            (loss, new_stats), grads = jax.value_and_grad(
+                loss_and_stats, has_aux=True)(
+                    state.params, state.batch_stats, images, labels)
+            return apply_updates(state, grads, loss, new_stats, lr)
+
+        batch_sh = batch_sharding(mesh, axis_name)
+        repl = replicated_sharding(mesh)
+        return jax.jit(
+            step,
+            in_shardings=(repl, batch_sh, batch_sh, None),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+
+    # ---- per-replica BN mode (reference-faithful) -----------------------
+    # batch_stats carry a leading per-device axis (see tile_batch_stats);
+    # each shard normalizes with its own running stats, exactly like the
+    # reference's unsynced DataParallel BN. Gradients are pmean'd (torch
+    # DataParallel reduces grads across replicas). Export takes shard 0,
+    # matching torch saving device 0's module.
+    def local_step(params, tiled_stats, opt_state, step_counter,
+                   images, labels, lr):
+        local_stats = jax.tree.map(lambda x: x[0], tiled_stats)
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_and_stats, has_aux=True)(params, local_stats, images,
+                                          labels)
+        grads = jax.lax.pmean(grads, axis_name)
+        loss = jax.lax.pmean(loss, axis_name)
+        opt_state = set_learning_rate(opt_state, lr)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = jax.tree.map(lambda p, u: p + u, params, updates)
+        new_tiled = jax.tree.map(lambda x: x[None], new_stats)
+        return new_params, new_tiled, new_opt_state, step_counter + 1, loss
+
+    smapped = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(axis_name), P(), P(), P(axis_name), P(axis_name),
+                  P()),
+        out_specs=(P(), P(axis_name), P(), P(), P()),
+        check_vma=False,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, images, labels, lr):
+        new_params, new_tiled, new_opt, new_step, loss = smapped(
+            state.params, state.batch_stats, state.opt_state, state.step,
+            images, labels, lr)
+        return TrainState(params=new_params, batch_stats=new_tiled,
+                          opt_state=new_opt, step=new_step), loss
+
+    return step
+
+
+def tile_batch_stats(batch_stats, mesh: Mesh, axis_name: str = DATA_AXIS):
+    """Per-replica BN mode: give every replica its own copy of the running
+    stats by tiling a leading device axis and sharding it."""
+    n = mesh.shape[axis_name]
+    sh = NamedSharding(mesh, P(axis_name))
+    tile = jax.jit(
+        lambda t: jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n,) + x.shape), t),
+        out_shardings=jax.tree.map(lambda _: sh, batch_stats))
+    return tile(batch_stats)

@@ -1,0 +1,226 @@
+"""Adversarial domain-adaptation trainer (reference train.py:134-299).
+
+The reference's 4-phase step per batch (train.py:192-262), expressed as one
+jitted function with explicit functional dataflow instead of requires_grad
+flips and interleaved ``.backward()`` calls:
+
+  1. G-seg : outs_src = G(src) (train mode, G BN update #1);
+             3-head CE summed; SGD step -> G'
+             (train.py:211-221)
+  2. G-adv : outs_tgt = G'(tgt) (G BN update #2);
+             D(softmax(outs_tgt[head])) with D in train mode (D BN update
+             #1, matching torch where requires_grad=False still updates
+             running stats); loss = lambda_adv * BCE(vs source-label 0);
+             gradients w.r.t. G' only (D frozen == no grad path to D
+             params in the functional form); SGD step -> G''
+             (train.py:207-208,223-237)
+  3. D-src : D(softmax(outs_src[head]).detach()) -> BCE vs 0 -> Adam step
+             (D BN update #2) (train.py:243-254)
+  4. D-tgt : D(softmax(outs_tgt[head]).detach()) -> BCE vs 1 -> Adam step
+             (D BN update #3) (train.py:256-262)
+
+Note phase 3/4 reuse the activations from phases 1/2 (no recompute), i.e.
+outs_src comes from the PRE-update G and outs_tgt from the once-updated G',
+exactly like the torch autograd graph.
+
+``d_head``: the main trainer feeds the full-resolution main head to D
+(train.py:230 -> output), while the NNI variant feeds the out32 auxiliary
+head (reference train_nni.py:135,150,156); both are supported.
+
+The epoch loop reproduces the reference's *compounding* poly LR (train.py:
+185-186 feeds the current lr back as init) and its checkpoint naming
+(GTA5_<step>.pth / GTA5_<step>_D1.pth with DataParallel-style 'module.'
+prefixes, train.py:280-283).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.losses import bce_with_logits, cross_entropy_ignore
+from ..ops.schedules import PolyLR
+from .optim import set_learning_rate
+from .state import TrainState
+
+SOURCE_LABEL = 0.0  # reference train.py:181
+TARGET_LABEL = 1.0  # reference train.py:182
+
+
+def make_da_step(g_model, d_model, g_optimizer, d_optimizer, *,
+                 lambda_adv: float, ignore_index: int = 255,
+                 d_head: int = 0, donate: bool = True):
+    """Build the jitted 4-phase DA step.
+
+    Returns step(g_state, d_state, src_images, src_labels, tgt_images,
+                 lr_g, lr_d) -> (g_state, d_state, metrics dict).
+    """
+
+    def g_apply(params, stats, x):
+        return g_model.apply({"params": params, "batch_stats": stats},
+                             x, train=True, mutable=["batch_stats"])
+
+    def d_apply(params, stats, x):
+        return d_model.apply({"params": params, "batch_stats": stats},
+                             x, train=True, mutable=["batch_stats"])
+
+    def step(g_state: TrainState, d_state: TrainState,
+             src_images, src_labels, tgt_images, lr_g, lr_d):
+        # ---- phase 1: G segmentation update on source ------------------
+        def seg_loss_fn(params):
+            outs, mutated = g_apply(params, g_state.batch_stats, src_images)
+            loss = (cross_entropy_ignore(outs[0], src_labels, ignore_index)
+                    + cross_entropy_ignore(outs[1], src_labels, ignore_index)
+                    + cross_entropy_ignore(outs[2], src_labels, ignore_index))
+            return loss, (mutated["batch_stats"], outs)
+
+        (seg_loss, (g_stats1, outs_src)), g_grads = jax.value_and_grad(
+            seg_loss_fn, has_aux=True)(g_state.params)
+        g_opt = set_learning_rate(g_state.opt_state, lr_g)
+        upd, g_opt = g_optimizer.update(g_grads, g_opt, g_state.params)
+        g_params1 = jax.tree.map(lambda p, u: p + u, g_state.params, upd)
+
+        # ---- phase 2: G adversarial update on target -------------------
+        def adv_loss_fn(params):
+            outs_t, g_mut = g_apply(params, g_stats1, tgt_images)
+            probs_t = jax.nn.softmax(outs_t[d_head].astype(jnp.float32),
+                                     axis=-1)
+            d_out, d_mut = d_apply(d_state.params, d_state.batch_stats,
+                                   probs_t)
+            loss = bce_with_logits(d_out, SOURCE_LABEL) * lambda_adv
+            return loss, (g_mut["batch_stats"], d_mut["batch_stats"],
+                          outs_t)
+
+        (loss_d1, (g_stats2, d_stats1, outs_tgt)), g_grads2 = \
+            jax.value_and_grad(adv_loss_fn, has_aux=True)(g_params1)
+        upd2, g_opt = g_optimizer.update(g_grads2, g_opt, g_params1)
+        g_params2 = jax.tree.map(lambda p, u: p + u, g_params1, upd2)
+
+        new_g_state = TrainState(params=g_params2, batch_stats=g_stats2,
+                                 opt_state=g_opt, step=g_state.step + 1)
+
+        # Detached softmax maps (reference train.py:243-244).
+        probs_src = jax.lax.stop_gradient(
+            jax.nn.softmax(outs_src[d_head].astype(jnp.float32), axis=-1))
+        probs_tgt = jax.lax.stop_gradient(
+            jax.nn.softmax(outs_tgt[d_head].astype(jnp.float32), axis=-1))
+
+        # ---- phase 3: D update on source (label 0) ---------------------
+        def d_src_loss_fn(params):
+            d_out, d_mut = d_apply(params, d_stats1, probs_src)
+            return bce_with_logits(d_out, SOURCE_LABEL), \
+                d_mut["batch_stats"]
+
+        (loss_adv_src, d_stats2), d_grads = jax.value_and_grad(
+            d_src_loss_fn, has_aux=True)(d_state.params)
+        d_opt = set_learning_rate(d_state.opt_state, lr_d)
+        d_upd, d_opt = d_optimizer.update(d_grads, d_opt, d_state.params)
+        d_params1 = jax.tree.map(lambda p, u: p + u, d_state.params, d_upd)
+
+        # ---- phase 4: D update on target (label 1) ---------------------
+        def d_tgt_loss_fn(params):
+            d_out, d_mut = d_apply(params, d_stats2, probs_tgt)
+            return bce_with_logits(d_out, TARGET_LABEL), \
+                d_mut["batch_stats"]
+
+        (loss_adv_tgt, d_stats3), d_grads2 = jax.value_and_grad(
+            d_tgt_loss_fn, has_aux=True)(d_params1)
+        d_upd2, d_opt = d_optimizer.update(d_grads2, d_opt, d_params1)
+        d_params2 = jax.tree.map(lambda p, u: p + u, d_params1, d_upd2)
+
+        new_d_state = TrainState(params=d_params2, batch_stats=d_stats3,
+                                 opt_state=d_opt, step=d_state.step + 1)
+
+        metrics = {
+            "loss": seg_loss,                      # train.py:217
+            "loss_D1": loss_d1,                    # train.py:234
+            "loss_G": seg_loss + loss_d1,          # train.py:264
+            "loss_adv": loss_adv_src + loss_adv_tgt,  # train.py:265
+        }
+        return new_g_state, new_d_state, metrics
+
+    donate_args = (0, 1) if donate else ()
+    return jax.jit(step, donate_argnums=donate_args)
+
+
+def train_da(args, g_model, d_model, g_state, d_state, g_optimizer,
+             d_optimizer, loader_source, loader_target, *,
+             prepare_source, prepare_target, evaluate_fn, writer=None,
+             logger=None, checkpoint_fn: Optional[Callable] = None,
+             d_head: int = 0):
+    """Epoch loop (reference train.py:176-299)."""
+    da_step = make_da_step(g_model, d_model, g_optimizer, d_optimizer,
+                           lambda_adv=args.lambda_adv_target1,
+                           d_head=d_head)
+    # compounding poly LR: reference train.py:185-186
+    sched_g = PolyLR(args.learning_rate, args.num_epochs, mode="compounding")
+    sched_d = PolyLR(args.learning_rate_D, args.num_epochs,
+                     mode="compounding")
+    max_miou = 0.0
+    step_count = 0
+
+    for epoch in range(getattr(args, "epoch_start_i", 0), args.num_epochs):
+        lr_g = sched_g(epoch)
+        lr_d = sched_d(epoch)
+        loader_source.set_epoch(epoch)
+        loader_target.set_epoch(epoch)
+        seg_losses, adv_losses = [], []
+        t0 = time.time()
+        n_images = 0
+        max_steps = getattr(args, "max_steps_per_epoch", None)
+        for it, (src_batch, tgt_batch) in enumerate(
+                zip(loader_source, loader_target)):
+            if max_steps is not None and it >= max_steps:
+                break
+            src_images, src_labels = prepare_source(src_batch, epoch, it)
+            tgt_images, _ = prepare_target(tgt_batch, epoch, it)
+            g_state, d_state, metrics = da_step(
+                g_state, d_state, src_images, src_labels, tgt_images,
+                lr_g, lr_d)
+            step_count += 1
+            n_images += src_images.shape[0]
+            seg_losses.append(metrics["loss_G"])
+            adv_losses.append(metrics["loss_adv"])
+            if writer is not None:
+                writer.add_scalar("loss_step", float(metrics["loss"]),
+                                  step_count)
+                writer.add_scalar("loss_G", float(metrics["loss_G"]),
+                                  step_count)
+                writer.add_scalar("loss_adv", float(metrics["loss_adv"]),
+                                  step_count)
+        jax.block_until_ready(g_state.params)
+        dt = time.time() - t0
+        mean_g = float(jnp.mean(jnp.stack(seg_losses))) if seg_losses else 0.0
+        mean_d = float(jnp.mean(jnp.stack(adv_losses))) if adv_losses else 0.0
+        print("iter = {0:1d}/{1}, loss_seg = {2:.3f} loss_D1 = {3:.3f}"
+              .format(epoch, args.num_epochs, mean_g, mean_d))
+        if logger is not None:
+            logger.log(epoch=epoch, lr_g=lr_g, lr_d=lr_d, loss_seg=mean_g,
+                       loss_adv=mean_d,
+                       images_per_sec=n_images / max(dt, 1e-9))
+
+        if epoch % args.checkpoint_step == 0 and epoch != 0 \
+                and checkpoint_fn is not None:
+            # reference names: GTA5_<checkpoint_step>.pth + _D1.pth with
+            # module. prefix (train.py:280-283)
+            checkpoint_fn(g_state, f"GTA5_{args.checkpoint_step}",
+                          dataparallel_prefix=True)
+            checkpoint_fn(d_state, f"GTA5_{args.checkpoint_step}_D1",
+                          dataparallel_prefix=True, model="discriminator")
+
+        if epoch % args.validation_step == 0 and epoch != 0:
+            precision, miou = evaluate_fn(g_state)
+            if miou > max_miou:
+                max_miou = miou
+                if checkpoint_fn is not None:
+                    checkpoint_fn(g_state, "best")
+            if writer is not None:
+                writer.add_scalar("epoch/precision_val", precision, epoch)
+                writer.add_scalar("epoch/miou val", miou, epoch)
+
+    n_d_params = sum(int(x.size) for x in jax.tree.leaves(d_state.params))
+    print("The discriminator has: ", n_d_params)  # train.py:295-299
+    return g_state, d_state, max_miou

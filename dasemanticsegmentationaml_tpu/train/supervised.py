@@ -1,0 +1,136 @@
+"""Supervised trainer (reference train.py:63-120), TPU-native.
+
+One jitted step = forward (3 heads) + summed CE(ignore=255) + backward +
+optimizer update + BN running-stat update. The reference's AMP autocast +
+GradScaler (train.py:65,83,91-93) maps to a bf16 compute policy -- bf16 has
+fp32's exponent range, so no loss scaling is needed on TPU
+(SURVEY.md section 2.2 row 2).
+
+The epoch loop mirrors the reference: per-epoch standard poly LR
+(train.py:71), checkpoint every ``checkpoint_step`` epochs, validation +
+best-mIoU tracking every ``validation_step`` (train.py:106-120), identical
+TensorBoard scalar names (loss_step / epoch/loss_epoch_train /
+epoch/precision_val / 'epoch/miou val').
+
+Data parallelism: the step is jitted over a Mesh with the batch sharded on
+the 'data' axis and params replicated; XLA SPMD inserts the gradient
+all-reduce (SURVEY.md section 2.3). BatchNorm under global-jit semantics
+normalizes over the GLOBAL batch (sync-BN, the "correct" mode); the
+reference's per-replica DataParallel BN is available via
+parallel.per_replica (shard_map) when faithfulness matters.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.losses import cross_entropy_ignore, ohem_cross_entropy
+from ..ops.schedules import PolyLR
+from .optim import set_learning_rate
+from .state import TrainState
+
+
+def make_train_step(model, optimizer, *, ohem: Optional[dict] = None,
+                    ignore_index: int = 255, donate: bool = True):
+    """Build the jitted supervised train step.
+
+    ohem: optional {'threshold': float, 'keep_num': int} to use OHEM CE
+    (reference utils.py:256-271 -- shipped but unwired there; first-class
+    here via --loss ohem).
+    """
+
+    def loss_of(out, labels):
+        if ohem is not None:
+            return ohem_cross_entropy(out, labels, ohem["threshold"],
+                                      ohem["keep_num"], ignore_index)
+        return cross_entropy_ignore(out, labels, ignore_index)
+
+    def step(state: TrainState, images, labels, lr):
+        def loss_fn(params):
+            (out, out16, out32), mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images, train=True, mutable=["batch_stats"])
+            loss1 = loss_of(out, labels)
+            loss2 = loss_of(out16, labels)
+            loss3 = loss_of(out32, labels)
+            loss = loss1 + loss2 + loss3
+            return loss, mutated["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        opt_state = set_learning_rate(state.opt_state, lr)
+        updates, new_opt_state = optimizer.update(grads, opt_state,
+                                                  state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_state = TrainState(params=new_params, batch_stats=new_stats,
+                               opt_state=new_opt_state, step=state.step + 1)
+        return new_state, loss
+
+    donate_args = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_args)
+
+
+def train(args, model, state: TrainState, optimizer, loader_train,
+          loader_val, *, prepare, evaluate_fn, writer=None, logger=None,
+          checkpoint_fn: Optional[Callable] = None):
+    """Epoch loop with reference-parity bookkeeping (train.py:63-120).
+
+    prepare(batch, epoch, it) -> (images, labels) on device.
+    evaluate_fn(state) -> (precision, miou).
+    checkpoint_fn(state, name) persists 'latest'/'best'.
+    """
+    train_step = make_train_step(
+        model, optimizer,
+        ohem=(args.ohem if getattr(args, "loss", "crossentropy") == "ohem"
+              else None))
+    sched = PolyLR(args.learning_rate, args.num_epochs, mode="standard")
+    max_miou = 0.0
+    step_count = 0
+
+    for epoch in range(getattr(args, "epoch_start_i", 0), args.num_epochs):
+        lr = sched(epoch)
+        loader_train.set_epoch(epoch)
+        losses = []
+        t0 = time.time()
+        n_images = 0
+        max_steps = getattr(args, "max_steps_per_epoch", None)
+        for it, batch in enumerate(loader_train):
+            if max_steps is not None and it >= max_steps:
+                break
+            images, labels = prepare(batch, epoch, it)
+            state, loss = train_step(state, images, labels, lr)
+            step_count += 1
+            losses.append(loss)
+            n_images += images.shape[0]
+            if writer is not None:
+                writer.add_scalar("loss_step", float(loss), step_count)
+        jax.block_until_ready(state.params)
+        dt = time.time() - t0
+        loss_train_mean = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
+        if writer is not None:
+            writer.add_scalar("epoch/loss_epoch_train", loss_train_mean,
+                              epoch)
+        if logger is not None:
+            logger.log(epoch=epoch, lr=lr, loss=loss_train_mean,
+                       images_per_sec=n_images / max(dt, 1e-9))
+        print("loss for train : %f" % loss_train_mean)
+
+        if epoch % args.checkpoint_step == 0 and epoch != 0 \
+                and checkpoint_fn is not None:
+            checkpoint_fn(state, "latest")
+
+        if epoch % args.validation_step == 0 and epoch != 0:
+            precision, miou = evaluate_fn(state)
+            if miou > max_miou:
+                max_miou = miou
+                if checkpoint_fn is not None:
+                    checkpoint_fn(state, "best")
+            if writer is not None:
+                writer.add_scalar("epoch/precision_val", precision, epoch)
+                writer.add_scalar("epoch/miou val", miou, epoch)
+    return state, max_miou

@@ -1,0 +1,118 @@
+"""CLI flag surface -- reference-compatible plus TPU-native extensions.
+
+The full argparse surface of reference train.py:309-439 is reproduced
+(SURVEY.md section 5.6), with the reference's ``type=bool`` footgun fixed:
+there, ``--domain_shift False`` evaluated truthy (train.py:408-437) because
+any non-empty string is truthy; here every boolean flag uses ``str2bool``
+(the reference defines it at train.py:301-307 but only uses it for
+--use_conv_last).
+
+Dead reference flags are implemented honestly:
+* --epoch_start_i: resumes the epoch counter (parsed-but-unused at
+  train.py:344-347);
+* --iter_size: gradient accumulation (parsed-but-unused at train.py:404);
+* --loss: 'crossentropy' or 'ohem' (parsed-but-unused at train.py:400).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def str2bool(v):
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError("Unsupported value encountered.")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="TPU-native semantic segmentation + domain adaptation "
+                    "(capability parity with the reference train.py)")
+    # ---- reference flag surface (train.py:309-439) ----------------------
+    p.add_argument("--root", type=str, default="../Datasets/Cityscapes")
+    p.add_argument("--root_source", type=str, default="../Datasets/GTA5")
+    p.add_argument("--root_target", type=str, default="../Datasets/Cityscapes")
+    p.add_argument("--dataset", type=str, default="Cityspaces",
+                   help="Select Dataset between GTAV and Cityspaces")
+    p.add_argument("--backbone", type=str, default="STDCNet813")
+    p.add_argument("--pretrain_path", type=str, default="")
+    p.add_argument("--use_conv_last", type=str2bool, default=False)
+    p.add_argument("--num_epochs", type=int, default=50)
+    p.add_argument("--epoch_start_i", type=int, default=0)
+    p.add_argument("--checkpoint_step", type=int, default=10)
+    p.add_argument("--validation_step", type=int, default=1)
+    p.add_argument("--crop_height", type=int, default=512)
+    p.add_argument("--crop_width", type=int, default=1024)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--learning_rate", type=float, default=0.01)
+    p.add_argument("--learning_rate_D", type=float, default=1e-3)
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--num_classes", type=int, default=19)
+    p.add_argument("--cuda", type=str, default="0",
+                   help="accepted for CLI compat; ignored on TPU")
+    p.add_argument("--use_gpu", type=str2bool, default=True,
+                   help="accepted for CLI compat; ignored on TPU")
+    p.add_argument("--save_model_path", type=str, default=None)
+    p.add_argument("--optimizer", type=str, default="sgd",
+                   help="rmsprop, sgd, adam (reference train.py:501-509)")
+    p.add_argument("--loss", type=str, default="crossentropy",
+                   help="crossentropy | ohem")
+    p.add_argument("--iter_size", type=int, default=1,
+                   help="gradient accumulation steps (honored here)")
+    p.add_argument("--domain_shift", type=str2bool, default=False)
+    p.add_argument("--domain_adaptation", type=str2bool, default=False)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--weight_decay", type=float, default=5e-4)
+    p.add_argument("--lambda_adv_target1", type=float, default=0.001)
+    p.add_argument("--aug_type", type=str, default=None,
+                   help="CS-HF | H-RP | B-GS-R")
+    p.add_argument("--depthwise", type=str2bool, default=False)
+    p.add_argument("--batch_norm", type=str2bool, default=False)
+
+    # ---- TPU-native extensions ------------------------------------------
+    p.add_argument("--dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="compute dtype (bf16 = TPU AMP analogue)")
+    p.add_argument("--faithful_resize", type=str2bool, default=True,
+                   help="reproduce the reference's PIL (h,w) transposition "
+                        "(reference cityscapes.py:22,65)")
+    p.add_argument("--augment_labels", type=str2bool, default=False,
+                   help="corrected mode: apply geometric augs to labels too")
+    p.add_argument("--sync_bn", type=str2bool, default=True,
+                   help="global-batch BN (False = per-replica, "
+                        "DataParallel-faithful)")
+    p.add_argument("--num_devices", type=int, default=None,
+                   help="devices in the data mesh (default: all)")
+    p.add_argument("--d_head", type=int, default=0, choices=[0, 2],
+                   help="discriminator input head: 0=main (train.py:230), "
+                        "2=out32 (train_nni.py:135)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ohem_threshold", type=float, default=0.7)
+    p.add_argument("--ohem_keep_num", type=int, default=65536)
+    p.add_argument("--use_fused_eval", type=str2bool, default=True,
+                   help="Pallas fused upsample+argmax eval kernel on TPU")
+    p.add_argument("--resume", type=str, default=None,
+                   help="orbax checkpoint dir to resume full train state")
+    p.add_argument("--jsonl_log", type=str, default=None,
+                   help="structured JSONL metrics path")
+    p.add_argument("--tensorboard", type=str2bool, default=True)
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="jax.profiler trace output dir")
+    p.add_argument("--max_steps_per_epoch", type=int, default=None,
+                   help="cap steps per epoch (smoke tests)")
+    return p
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    args = build_parser().parse_args(argv)
+    if args.loss == "ohem":
+        args.ohem = {"threshold": args.ohem_threshold,
+                     "keep_num": args.ohem_keep_num}
+    else:
+        args.ohem = None
+    return args

@@ -1,0 +1,117 @@
+"""End-to-end CLI smoke tests: all three run modes on tiny synthetic trees
+(SURVEY.md section 4 test plan: 'end-to-end 2-step smoke runs for all three
+modes')."""
+
+import os
+
+import numpy as np
+import pytest
+
+from dasemanticsegmentationaml_tpu import cli
+
+H, W = 32, 64  # crop_height, crop_width (kept small for CPU test speed)
+
+
+def _mk_cityscapes(root, mode, n=4, size=(H, W)):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    os.makedirs(os.path.join(root, "images", mode, "city"), exist_ok=True)
+    os.makedirs(os.path.join(root, "gtFine", mode, "city"), exist_ok=True)
+    for i in range(n):
+        Image.fromarray(rng.integers(0, 255, (*size, 3), dtype=np.uint8)
+                        ).save(os.path.join(root, "images", mode, "city",
+                                            f"c_{i:03d}.png"))
+        Image.fromarray(rng.integers(0, 19, size, dtype=np.uint8), mode="L"
+                        ).save(os.path.join(root, "gtFine", mode, "city",
+                                            f"c_{i:03d}_labelTrainIds.png"))
+
+
+def _mk_gtav(root, n=6, size=(H, W)):
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    os.makedirs(os.path.join(root, "labels"), exist_ok=True)
+    for i in range(n):
+        Image.fromarray(rng.integers(0, 255, (*size, 3), dtype=np.uint8)
+                        ).save(os.path.join(root, "images", f"{i:05d}.png"))
+        Image.fromarray(rng.integers(0, 35, size, dtype=np.uint8), mode="L"
+                        ).save(os.path.join(root, "labels", f"{i:05d}.png"))
+
+
+COMMON = [
+    "--crop_height", str(H), "--crop_width", str(W),
+    "--batch_size", "2", "--num_epochs", "2", "--validation_step", "1",
+    "--checkpoint_step", "1", "--num_workers", "1", "--dtype", "float32",
+    "--faithful_resize", "False", "--tensorboard", "False",
+    "--max_steps_per_epoch", "2", "--num_devices", "1",
+    "--use_fused_eval", "False",
+]
+
+
+def test_cli_supervised_cityscapes(tmp_path):
+    root = str(tmp_path / "cs")
+    _mk_cityscapes(root, "train")
+    _mk_cityscapes(root, "val", n=2)
+    save = str(tmp_path / "ckpt")
+    result = cli.main(COMMON + [
+        "--root", root, "--dataset", "Cityspaces",
+        "--save_model_path", save,
+    ])
+    assert np.isfinite(result["miou"])
+    # reference-compatible .pth checkpoints written (train.py:110,118)
+    assert os.path.exists(os.path.join(save, "latest.pth"))
+    assert os.path.exists(os.path.join(save, "best.pth"))
+    # our .pth exports load back through our own reader
+    from dasemanticsegmentationaml_tpu.utils.torch_io import (
+        read_torch_checkpoint,
+    )
+
+    state = read_torch_checkpoint(os.path.join(save, "best.pth"))
+    assert "cp.backbone.features.0.conv.weight" in state
+
+
+def test_cli_supervised_gtav_with_aug(tmp_path):
+    root = str(tmp_path / "gta")
+    _mk_gtav(root)
+    result = cli.main(COMMON + [
+        "--root", root, "--dataset", "GTAV", "--aug_type", "CS-HF",
+        "--save_model_path", str(tmp_path / "ck2"),
+    ])
+    assert np.isfinite(result["miou"])
+
+
+def test_cli_domain_shift_eval(tmp_path):
+    root = str(tmp_path / "cs")
+    _mk_cityscapes(root, "val", n=2)
+    result = cli.main(COMMON + [
+        "--root", root, "--domain_shift", "True",
+    ])
+    assert 0.0 <= result["miou"] <= 1.0
+
+
+def test_cli_domain_adaptation(tmp_path):
+    cs_root = str(tmp_path / "cs")
+    gta_root = str(tmp_path / "gta")
+    _mk_cityscapes(cs_root, "train")
+    _mk_cityscapes(cs_root, "val", n=2)
+    _mk_gtav(gta_root)
+    save = str(tmp_path / "ck3")
+    result = cli.main(COMMON + [
+        "--root", cs_root, "--root_source", gta_root,
+        "--root_target", cs_root,
+        "--domain_adaptation", "True", "--depthwise", "True",
+        "--batch_norm", "True",
+        "--save_model_path", save,
+    ])
+    assert np.isfinite(result["miou"])
+    # reference DA checkpoint names with module. prefix (train.py:280-283)
+    p = os.path.join(save, "GTA5_1_D1.pth")
+    assert os.path.exists(p)
+    from dasemanticsegmentationaml_tpu.utils.torch_io import (
+        read_torch_checkpoint,
+    )
+
+    state = read_torch_checkpoint(p)
+    assert any(k.startswith("module.conv1_d.") for k in state)

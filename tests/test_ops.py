@@ -1,0 +1,251 @@
+"""Unit tests for core ops against torch/numpy oracles.
+
+Test strategy per SURVEY.md section 4: every device op that must reproduce a
+reference numeric gets a direct comparison against the torch implementation
+of the same op (torch runs on CPU as the oracle only -- no torch in the
+framework itself).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from conftest import requires_torch
+
+from dasemanticsegmentationaml_tpu.ops import (
+    BatchNorm,
+    resize_bilinear_align_corners,
+    resize_nearest,
+    upsample_nearest,
+    cross_entropy_ignore,
+    ohem_cross_entropy,
+    bce_with_logits,
+    confusion_matrix,
+    per_class_iou,
+    global_pixel_accuracy,
+    global_pixel_accuracy_masked,
+    poly_lr,
+    PolyLR,
+)
+from dasemanticsegmentationaml_tpu.ops.norm import fold_bn_into_conv
+
+
+# ---------------------------------------------------------------- BatchNorm
+@requires_torch
+def test_batchnorm_train_matches_torch(rng):
+    import torch
+
+    x = rng.standard_normal((4, 6, 5, 8)).astype(np.float32)  # NHWC
+    tbn = torch.nn.BatchNorm2d(8)
+    tbn.weight.data = torch.tensor(rng.standard_normal(8).astype(np.float32))
+    tbn.bias.data = torch.tensor(rng.standard_normal(8).astype(np.float32))
+    tbn.train()
+    with torch.no_grad():
+        ty = tbn(torch.tensor(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+
+    bn = BatchNorm(use_running_average=False)
+    variables = {
+        "params": {
+            "scale": jnp.asarray(tbn.weight.detach().numpy()),
+            "bias": jnp.asarray(tbn.bias.detach().numpy()),
+        },
+        "batch_stats": {"mean": jnp.zeros(8), "var": jnp.ones(8)},
+    }
+    y, updated = bn.apply(variables, jnp.asarray(x), mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y), ty, rtol=1e-4, atol=1e-4)
+    # running stats: torch updates with momentum 0.1 and unbiased variance
+    np.testing.assert_allclose(
+        np.asarray(updated["batch_stats"]["mean"]),
+        tbn.running_mean.numpy(), rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(updated["batch_stats"]["var"]),
+        tbn.running_var.numpy(), rtol=1e-4, atol=1e-5,
+    )
+
+
+@requires_torch
+def test_batchnorm_eval_matches_torch(rng):
+    import torch
+
+    x = rng.standard_normal((2, 4, 4, 5)).astype(np.float32)
+    tbn = torch.nn.BatchNorm2d(5)
+    tbn.running_mean.data = torch.tensor(rng.standard_normal(5).astype(np.float32))
+    tbn.running_var.data = torch.tensor(
+        np.abs(rng.standard_normal(5)).astype(np.float32) + 0.5
+    )
+    tbn.eval()
+    with torch.no_grad():
+        ty = tbn(torch.tensor(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+
+    bn = BatchNorm(use_running_average=True)
+    variables = {
+        "params": {"scale": jnp.ones(5), "bias": jnp.zeros(5)},
+        "batch_stats": {
+            "mean": jnp.asarray(tbn.running_mean.numpy()),
+            "var": jnp.asarray(tbn.running_var.numpy()),
+        },
+    }
+    y = bn.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), ty, rtol=1e-5, atol=1e-5)
+
+
+def test_fold_bn_matches_unfolded(rng):
+    k = jnp.asarray(rng.standard_normal((3, 3, 4, 6)).astype(np.float32))
+    scale = jnp.asarray(rng.standard_normal(6).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(6).astype(np.float32))
+    mean = jnp.asarray(rng.standard_normal(6).astype(np.float32))
+    var = jnp.asarray(np.abs(rng.standard_normal(6)).astype(np.float32) + 0.1)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 4)).astype(np.float32))
+
+    conv = lambda x, k: jax.lax.conv_general_dilated(
+        x, k, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision="highest")
+    y_ref = (conv(x, k) - mean) / jnp.sqrt(var + 1e-5) * scale + bias
+    kf, bf = fold_bn_into_conv(k, None, scale, bias, mean, var)
+    y_fold = conv(x, kf) + bf
+    np.testing.assert_allclose(np.asarray(y_fold), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+# ------------------------------------------------------------------ resize
+@requires_torch
+@pytest.mark.parametrize("in_hw,out_hw", [((8, 16), (64, 128)),
+                                          ((7, 9), (30, 40)),
+                                          ((16, 8), (8, 4))])
+def test_bilinear_align_corners_matches_torch(rng, in_hw, out_hw):
+    import torch
+    import torch.nn.functional as F
+
+    x = rng.standard_normal((2, *in_hw, 3)).astype(np.float32)
+    t = F.interpolate(torch.tensor(x).permute(0, 3, 1, 2), out_hw,
+                      mode="bilinear", align_corners=True)
+    t = t.permute(0, 2, 3, 1).numpy()
+    y = resize_bilinear_align_corners(jnp.asarray(x), out_hw)
+    np.testing.assert_allclose(np.asarray(y), t, rtol=1e-5, atol=1e-5)
+
+
+@requires_torch
+@pytest.mark.parametrize("in_hw,out_hw", [((4, 6), (8, 12)),
+                                          ((5, 7), (13, 10)),
+                                          ((1, 1), (16, 32))])
+def test_nearest_matches_torch(rng, in_hw, out_hw):
+    import torch
+    import torch.nn.functional as F
+
+    x = rng.standard_normal((1, *in_hw, 2)).astype(np.float32)
+    t = F.interpolate(torch.tensor(x).permute(0, 3, 1, 2), out_hw,
+                      mode="nearest").permute(0, 2, 3, 1).numpy()
+    y = resize_nearest(jnp.asarray(x), out_hw)
+    np.testing.assert_array_equal(np.asarray(y), t)
+    y2 = upsample_nearest(jnp.asarray(x), out_hw)
+    np.testing.assert_array_equal(np.asarray(y2), t)
+
+
+# ------------------------------------------------------------------ losses
+@requires_torch
+def test_cross_entropy_ignore_matches_torch(rng):
+    import torch
+
+    logits = rng.standard_normal((2, 8, 8, 19)).astype(np.float32)
+    labels = rng.integers(0, 19, size=(2, 8, 8)).astype(np.int64)
+    labels[0, :2, :] = 255  # ignored region
+    tl = torch.nn.CrossEntropyLoss(ignore_index=255)(
+        torch.tensor(logits).permute(0, 3, 1, 2), torch.tensor(labels)
+    ).item()
+    jl = float(cross_entropy_ignore(jnp.asarray(logits), jnp.asarray(labels)))
+    assert abs(jl - tl) < 1e-5
+
+
+@requires_torch
+def test_ohem_matches_reference_semantics(rng):
+    """Re-implements reference utils.py:256-271 in torch as the oracle."""
+    import torch
+
+    logits = rng.standard_normal((1, 12, 12, 19)).astype(np.float32)
+    labels = rng.integers(0, 19, size=(1, 12, 12)).astype(np.int64)
+
+    tloss = torch.nn.CrossEntropyLoss(reduction="none")(
+        torch.tensor(logits).permute(0, 3, 1, 2), torch.tensor(labels)
+    ).view(-1)
+    tsorted, _ = torch.sort(tloss, descending=True)
+    for threshold, keep in [(0.7, 30), (100.0, 30), (0.7, 143)]:
+        kth = tsorted[keep]
+        if kth > threshold:
+            expected = tsorted[tsorted > threshold].mean().item()
+        else:
+            expected = tsorted[:keep].mean().item()
+        got = float(ohem_cross_entropy(jnp.asarray(logits), jnp.asarray(labels),
+                                       threshold=threshold, keep_num=keep))
+        assert abs(got - expected) < 1e-4, (threshold, keep)
+
+
+@requires_torch
+def test_bce_with_logits_matches_torch(rng):
+    import torch
+
+    x = rng.standard_normal((4, 1, 3, 5)).astype(np.float32)
+    for target in (0.0, 1.0):
+        t = torch.nn.BCEWithLogitsLoss()(
+            torch.tensor(x), torch.full(x.shape, target)
+        ).item()
+        j = float(bce_with_logits(jnp.asarray(x), target))
+        assert abs(j - t) < 1e-5
+
+
+# ----------------------------------------------------------------- metrics
+def test_confusion_matrix_matches_fast_hist(rng):
+    """Oracle = reference utils.py:161-167 numpy formula."""
+    n = 19
+    label = rng.integers(0, 25, size=4096)  # includes out-of-range + none 255
+    label[::7] = 255
+    pred = rng.integers(0, n, size=4096)
+
+    k = (label >= 0) & (label < n)
+    expected = np.bincount(
+        n * label[k].astype(int) + pred[k], minlength=n ** 2
+    ).reshape(n, n)
+
+    got = np.asarray(confusion_matrix(jnp.asarray(label), jnp.asarray(pred), n))
+    np.testing.assert_array_equal(got.astype(np.int64), expected)
+
+    iou_exp = np.diag(expected) / (
+        expected.sum(1) + expected.sum(0) - np.diag(expected) + 1e-5
+    )
+    iou_got = np.asarray(per_class_iou(jnp.asarray(got)))
+    np.testing.assert_allclose(iou_got, iou_exp, rtol=1e-5)
+
+
+def test_global_accuracy_semantics(rng):
+    label = rng.integers(0, 19, size=(64, 64))
+    label[0] = 255
+    pred = label.copy()
+    pred[1] = (pred[1] + 1) % 19
+    # faithful: 255 rows can never match -> counted wrong
+    acc = float(global_pixel_accuracy(jnp.asarray(label), jnp.asarray(pred)))
+    expected = float(np.mean(pred.flatten() == label.flatten()))
+    assert abs(acc - expected) < 1e-6
+    # corrected: ignore 255
+    acc_m = float(global_pixel_accuracy_masked(
+        jnp.asarray(label), jnp.asarray(pred), 19))
+    valid = label != 255
+    assert abs(acc_m - np.mean(pred[valid] == label[valid])) < 1e-6
+
+
+# --------------------------------------------------------------- schedules
+def test_poly_lr_formula():
+    # reference utils.py:24
+    assert abs(poly_lr(0.01, 0, 50) - 0.01) < 1e-12
+    assert abs(poly_lr(0.01, 25, 50) - 0.01 * 0.5 ** 0.9) < 1e-12
+
+
+def test_poly_lr_modes():
+    std = PolyLR(0.01, 50, mode="standard")
+    assert abs(std(10) - 0.01 * (1 - 10 / 50) ** 0.9) < 1e-12
+    # compounding: reference train.py:185 feeds lr back in
+    comp = PolyLR(0.01, 50, mode="compounding")
+    lr = 0.01
+    for e in range(5):
+        lr = lr * (1 - e / 50) ** 0.9
+        assert abs(comp(e) - lr) < 1e-12

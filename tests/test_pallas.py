@@ -1,0 +1,54 @@
+"""Pallas kernel tests (interpret mode on the CPU test platform)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dasemanticsegmentationaml_tpu.ops.pallas import upsample_argmax
+from dasemanticsegmentationaml_tpu.ops.pallas.upsample_argmax import (
+    _xla_reference,
+    _col_matrix,
+)
+from dasemanticsegmentationaml_tpu.ops.resize import bilinear_gather_plan
+
+
+def test_col_matrix_is_interpolation():
+    m = _col_matrix(8, 32)
+    # columns sum to 1 (affine interpolation), two taps per column
+    np.testing.assert_allclose(m.sum(axis=0), np.ones(32), rtol=1e-6)
+    assert ((m > 0).sum(axis=0) <= 2).all()
+
+
+def test_upsample_argmax_matches_xla():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 8, 16, 19)).astype(np.float32))
+    ref = np.asarray(_xla_reference(x, (32, 64)))
+    got = np.asarray(upsample_argmax(x, (32, 64), force="interpret"))
+    assert ref.shape == got.shape == (2, 32, 64)
+    # exact up to fp32 argmax ties
+    assert (ref != got).mean() < 1e-3
+
+
+def test_upsample_argmax_exact_on_separated_logits():
+    """With decisive margins the kernel must match exactly."""
+    rng = np.random.default_rng(1)
+    x = np.round(rng.standard_normal((1, 8, 16, 19)) * 4).astype(np.float32)
+    xj = jnp.asarray(x)
+    ref = np.asarray(_xla_reference(xj, (32, 64)))
+    got = np.asarray(upsample_argmax(xj, (32, 64), force="interpret"))
+    np.testing.assert_array_equal(ref, got)
+
+
+def test_upsample_argmax_identity_size():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((1, 8, 16, 19)).astype(np.float32))
+    ref = np.asarray(jnp.argmax(x, axis=-1))
+    got = np.asarray(upsample_argmax(x, (8, 16), force="interpret"))
+    np.testing.assert_array_equal(ref, got)
+
+
+def test_upsample_argmax_xla_fallback_on_cpu():
+    x = jnp.zeros((1, 4, 4, 19))
+    out = upsample_argmax(x, (8, 8), force="auto")  # cpu -> xla path
+    assert out.shape == (1, 8, 8)

@@ -1,0 +1,111 @@
+"""Mesh data-parallelism tests on the 8-device virtual CPU platform
+(SURVEY.md section 4: multi-device tests via host-platform device fakes)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dasemanticsegmentationaml_tpu.models import BiSeNet
+from dasemanticsegmentationaml_tpu.models.bisenet import (
+    init_bisenet_variables,
+    unused_param_mask,
+)
+from dasemanticsegmentationaml_tpu.parallel import (
+    create_mesh,
+    batch_sharding,
+    replicate_state,
+    shard_batch,
+    make_sharded_train_step,
+)
+from dasemanticsegmentationaml_tpu.parallel.mesh import tile_batch_stats
+from dasemanticsegmentationaml_tpu.train import create_train_state
+from dasemanticsegmentationaml_tpu.train.optim import make_optimizer
+
+H, W = 32, 64
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = BiSeNet(n_classes=19)
+    variables = init_bisenet_variables(model, jax.random.PRNGKey(0),
+                                       (1, H, W, 3))
+    opt = make_optimizer("sgd", 0.01, momentum=0.9, weight_decay=1e-4,
+                         mask=unused_param_mask(variables["params"]))
+    rng = np.random.default_rng(0)
+    images = rng.standard_normal((8, H, W, 3)).astype(np.float32)
+    labels = rng.integers(0, 19, (8, H, W)).astype(np.int32)
+    return model, variables, opt, images, labels
+
+
+def test_sharded_sync_bn_step(setup):
+    model, variables, opt, images, labels = setup
+    mesh = create_mesh(8)
+    state = replicate_state(create_train_state(variables, opt), mesh)
+    imgs, labs = shard_batch((images, labels), mesh)
+
+    step = make_sharded_train_step(model, opt, mesh, sync_bn=True)
+    new_state, loss = step(state, imgs, labs, 0.01)
+    assert np.isfinite(float(loss))
+
+    # Sharded result must equal the single-device result (global-batch BN
+    # means the math is literally the same program).
+    from dasemanticsegmentationaml_tpu.train import make_train_step
+
+    state1 = create_train_state(variables, opt)
+    step1 = make_train_step(model, opt, donate=False)
+    ref_state, ref_loss = step1(state1, jnp.asarray(images),
+                                jnp.asarray(labels), 0.01)
+    assert float(loss) == pytest.approx(float(ref_loss), rel=2e-4)
+    a = np.asarray(new_state.params["conv_out"]["conv_out"]["kernel"])
+    b = np.asarray(ref_state.params["conv_out"]["conv_out"]["kernel"])
+    np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-6)
+
+
+def test_sharded_per_replica_bn_step(setup):
+    model, variables, opt, images, labels = setup
+    mesh = create_mesh(8)
+    state = create_train_state(variables, opt)
+    state = state.replace(
+        batch_stats=tile_batch_stats(state.batch_stats, mesh))
+    state = state.replace(
+        params=jax.device_put(
+            state.params,
+            jax.sharding.NamedSharding(mesh,
+                                       jax.sharding.PartitionSpec())),
+        opt_state=jax.device_put(
+            state.opt_state,
+            jax.sharding.NamedSharding(mesh,
+                                       jax.sharding.PartitionSpec())))
+    imgs, labs = shard_batch((images, labels), mesh)
+
+    step = make_sharded_train_step(model, opt, mesh, sync_bn=False)
+    new_state, loss = step(state, imgs, labs, 0.01)
+    assert np.isfinite(float(loss))
+    # per-replica stats: leading device axis preserved, replicas differ
+    leaf = jax.tree.leaves(new_state.batch_stats)[0]
+    assert leaf.shape[0] == 8
+    leaf_np = np.asarray(leaf)
+    assert not np.allclose(leaf_np[0], leaf_np[1])
+
+
+def test_batch_sharding_layout():
+    mesh = create_mesh(4)
+    sh = batch_sharding(mesh)
+    x = np.zeros((8, 4, 4, 3), np.float32)
+    xd = jax.device_put(x, sh)
+    assert len(xd.addressable_shards) == 4
+    assert xd.addressable_shards[0].data.shape == (2, 4, 4, 3)
+
+
+def test_graft_entry_dryrun():
+    """The driver's multi-chip dry run must work on the virtual mesh."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(4)

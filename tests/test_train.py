@@ -1,0 +1,228 @@
+"""Trainer tests: optimizer parity vs torch, supervised/DA smoke steps,
+evaluation metrics plumbing."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from conftest import requires_torch
+
+from dasemanticsegmentationaml_tpu.models import BiSeNet, build_discriminator
+from dasemanticsegmentationaml_tpu.models.bisenet import (
+    init_bisenet_variables,
+    unused_param_mask,
+)
+from dasemanticsegmentationaml_tpu.train import (
+    create_train_state,
+    make_train_step,
+    make_da_step,
+    make_eval_step,
+    evaluate,
+)
+from dasemanticsegmentationaml_tpu.train.optim import (
+    make_optimizer,
+    set_learning_rate,
+)
+
+H, W = 32, 64
+
+
+# ------------------------------------------------------- optimizer parity
+@requires_torch
+@pytest.mark.parametrize("name,kwargs", [
+    ("sgd", dict(momentum=0.9, weight_decay=5e-4)),
+    ("adam", dict(betas=(0.9, 0.99))),
+    ("rmsprop", dict()),
+])
+def test_optimizer_matches_torch(name, kwargs, rng):
+    import torch
+
+    w0 = rng.standard_normal((4, 3)).astype(np.float32)
+    grads = [rng.standard_normal((4, 3)).astype(np.float32)
+             for _ in range(5)]
+    lr = 0.05
+
+    tw = torch.nn.Parameter(torch.tensor(w0.copy()))
+    if name == "sgd":
+        topt = torch.optim.SGD([tw], lr=lr, momentum=0.9, weight_decay=5e-4)
+    elif name == "adam":
+        topt = torch.optim.Adam([tw], lr=lr, betas=(0.9, 0.99))
+    else:
+        topt = torch.optim.RMSprop([tw], lr=lr)
+    for g in grads:
+        topt.zero_grad()
+        tw.grad = torch.tensor(g.copy())
+        topt.step()
+
+    jopt = make_optimizer(name, lr, **kwargs)
+    params = {"w": jnp.asarray(w0)}
+    opt_state = jopt.init(params)
+    for g in grads:
+        updates, opt_state = jopt.update({"w": jnp.asarray(g)}, opt_state,
+                                         params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               tw.detach().numpy(), rtol=2e-5, atol=2e-6)
+
+
+def test_set_learning_rate_changes_updates():
+    opt = make_optimizer("sgd", 0.1, momentum=0.0)
+    params = {"w": jnp.ones(3)}
+    st = opt.init(params)
+    g = {"w": jnp.ones(3)}
+    upd1, _ = opt.update(g, st, params)
+    st2 = set_learning_rate(st, 0.01)
+    upd2, _ = opt.update(g, st2, params)
+    np.testing.assert_allclose(np.asarray(upd1["w"]), -0.1, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(upd2["w"]), -0.01, rtol=1e-6)
+
+
+def test_masked_optimizer_freezes_head():
+    model = BiSeNet(n_classes=19)
+    variables = init_bisenet_variables(model, jax.random.PRNGKey(0),
+                                       (1, H, W, 3))
+    mask = unused_param_mask(variables["params"])
+    opt = make_optimizer("sgd", 0.1, momentum=0.9, weight_decay=5e-4,
+                         mask=mask)
+    state = opt.init(variables["params"])
+    grads = jax.tree.map(jnp.zeros_like, variables["params"])
+    updates, _ = opt.update(grads, state, variables["params"])
+    # masked head gets exactly zero update even with weight decay
+    head_upd = updates["cp"]["backbone"]["fc"]["kernel"]
+    assert float(jnp.abs(head_upd).max()) == 0.0
+    # unmasked conv DOES get a decay update on zero grads
+    live_upd = updates["cp"]["backbone"]["features_0"]["conv"]["kernel"]
+    assert float(jnp.abs(live_upd).max()) > 0.0
+
+
+# ---------------------------------------------------------- train steps
+@pytest.fixture(scope="module")
+def bisenet_setup():
+    model = BiSeNet(n_classes=19)
+    variables = init_bisenet_variables(model, jax.random.PRNGKey(0),
+                                       (1, H, W, 3))
+    return model, variables
+
+
+def _fake_batch(rng, b=2):
+    images = jnp.asarray(rng.standard_normal((b, H, W, 3)).astype(np.float32))
+    labels = rng.integers(0, 19, (b, H, W)).astype(np.int32)
+    labels[:, :4] = 255  # ignore region
+    return images, jnp.asarray(labels)
+
+
+def test_supervised_step_decreases_loss_and_updates(bisenet_setup, rng):
+    model, variables = bisenet_setup
+    opt = make_optimizer("sgd", 0.01, momentum=0.9, weight_decay=1e-4,
+                         mask=unused_param_mask(variables["params"]))
+    state = create_train_state(variables, opt)
+    images, labels = _fake_batch(rng)
+
+    step = make_train_step(model, opt, donate=False)
+    state1, loss1 = step(state, images, labels, 0.01)
+    assert np.isfinite(float(loss1))
+    # params changed
+    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                     state.params, state1.params)
+    assert max(jax.tree.leaves(d)) > 0
+    # BN stats changed
+    d2 = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                      state.batch_stats, state1.batch_stats)
+    assert max(jax.tree.leaves(d2)) > 0
+    # second step on same batch: loss should drop
+    state2, loss2 = step(state1, images, labels, 0.01)
+    state3, loss3 = step(state2, images, labels, 0.01)
+    assert float(loss3) < float(loss1)
+    assert int(state3.step) == 3
+
+
+def test_ohem_step_runs(bisenet_setup, rng):
+    model, variables = bisenet_setup
+    opt = make_optimizer("sgd", 0.01, momentum=0.9)
+    state = create_train_state(variables, opt)
+    images, labels = _fake_batch(rng)
+    step = make_train_step(model, opt,
+                           ohem={"threshold": 0.7, "keep_num": 256},
+                           donate=False)
+    _state1, loss = step(state, images, labels, 0.01)
+    assert np.isfinite(float(loss))
+
+
+def test_da_step_full(bisenet_setup, rng):
+    model, variables = bisenet_setup
+    d_model = build_discriminator(19, depthwise=True, batch_norm=True)
+    d_vars = d_model.init(jax.random.PRNGKey(1), jnp.zeros((1, H, W, 19)))
+
+    g_opt = make_optimizer("sgd", 0.01, momentum=0.9, weight_decay=5e-4,
+                           mask=unused_param_mask(variables["params"]))
+    d_opt = make_optimizer("adam", 1e-3, betas=(0.9, 0.99))
+    g_state = create_train_state(variables, g_opt)
+    d_state = create_train_state(d_vars, d_opt)
+
+    src_images, src_labels = _fake_batch(rng)
+    tgt_images, _ = _fake_batch(rng)
+
+    step = make_da_step(model, d_model, g_opt, d_opt, lambda_adv=1e-3,
+                        donate=False)
+    g1, d1, m = step(g_state, d_state, src_images, src_labels, tgt_images,
+                     0.01, 1e-3)
+    for k in ("loss", "loss_D1", "loss_G", "loss_adv"):
+        assert np.isfinite(float(m[k])), k
+    # loss_G = loss + loss_D1 (reference train.py:264)
+    assert abs(float(m["loss_G"]) - float(m["loss"]) -
+               float(m["loss_D1"])) < 1e-5
+    # both models' params updated
+    dG = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), g_state.params,
+        g1.params)))
+    dD = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), d_state.params,
+        d1.params)))
+    assert dG > 0 and dD > 0
+    # D BN stats saw three forwards (phase 2, 3, 4)
+    dstats = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), d_state.batch_stats,
+        d1.batch_stats)))
+    assert dstats > 0
+
+
+def test_da_step_out32_head(bisenet_setup, rng):
+    model, variables = bisenet_setup
+    d_model = build_discriminator(19)  # FCDiscriminator, train_nni.py:68
+    d_vars = d_model.init(jax.random.PRNGKey(1), jnp.zeros((1, H, W, 19)))
+    g_opt = make_optimizer("sgd", 0.01, momentum=0.9)
+    d_opt = make_optimizer("adam", 1e-3, betas=(0.9, 0.99))
+    g_state = create_train_state(variables, g_opt)
+    d_state = create_train_state(d_vars, d_opt)
+    src_images, src_labels = _fake_batch(rng)
+    tgt_images, _ = _fake_batch(rng)
+    step = make_da_step(model, d_model, g_opt, d_opt, lambda_adv=1e-3,
+                        d_head=2, donate=False)  # train_nni.py:135
+    _g1, _d1, m = step(g_state, d_state, src_images, src_labels, tgt_images,
+                       0.01, 1e-3)
+    assert np.isfinite(float(m["loss_G"]))
+
+
+# ------------------------------------------------------------- evaluation
+def test_evaluate_perfect_prediction(bisenet_setup):
+    """A loader whose labels equal the model's own argmax must give
+    miou == 1 and precision == 1 (up to ignore handling)."""
+    model, variables = bisenet_setup
+    step = make_eval_step(model, 19)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal((1, H, W, 3)).astype(np.float32))
+    out, _, _ = model.apply(variables, images, train=False)
+    pred = np.asarray(jnp.argmax(out, axis=-1))
+
+    batches = [((np.asarray(images), pred.astype(np.uint8)))]
+    precision, miou = evaluate(
+        model, variables, batches, 19,
+        prepare=lambda b: (jnp.asarray(b[0]), jnp.asarray(b[1])),
+        print_results=False)
+    assert precision == pytest.approx(1.0)
+    # classes absent from the image have IoU 0/eps -> excluded only if
+    # absent from both; mIoU over present classes is 1, absent are 0/0~0.
+    present = len(np.unique(pred))
+    assert miou == pytest.approx(present / 19, abs=1e-3)
