@@ -75,7 +75,7 @@ def bench_forward(batch_size: int, height: int = 512, width: int = 1024,
 
 def main():
     backend = jax.default_backend()
-    batches = [8, 16, 32] if backend == "tpu" else [2]
+    batches = [16, 32, 64, 128] if backend == "tpu" else [2]
     best, best_bs = 0.0, batches[0]
     for bs in batches:
         try:

@@ -71,10 +71,18 @@ def load_pretrain(variables, pretrain_path: str):
 
 
 def make_checkpoint_fn(args, model_kind_main="bisenet"):
-    """Persist reference-compatible .pth + orbax full state."""
-    save_dir = args.save_model_path or "./checkpoints"
+    """Persist reference-compatible .pth + orbax full state.
 
-    def checkpoint_fn(state, name, dataparallel_prefix=False, model=None):
+    Besides the per-name orbax save, a stable alias ('latest' for the main
+    model, 'latest_D1' for the discriminator) plus an EPOCH marker is
+    written so --resume can restore without knowing the reference's
+    DA naming scheme (GTA5_<step>[_D1]).
+    """
+    save_dir = args.save_model_path or "./checkpoints"
+    orbax_dir = os.path.join(save_dir, "orbax")
+
+    def checkpoint_fn(state, name, dataparallel_prefix=False, model=None,
+                      epoch=None):
         os.makedirs(save_dir, exist_ok=True)
         variables = {"params": jax.device_get(state.params),
                      "batch_stats": jax.device_get(state.batch_stats)}
@@ -83,10 +91,32 @@ def make_checkpoint_fn(args, model_kind_main="bisenet"):
             torch_state = {f"module.{k}": v for k, v in torch_state.items()}
         torch_io.write_torch_checkpoint(
             os.path.join(save_dir, f"{name}.pth"), torch_state)
-        orbax_io.save_train_state(os.path.join(save_dir, "orbax"),
-                                  name, jax.device_get(state))
+        host_state = jax.device_get(state)
+        orbax_io.save_train_state(orbax_dir, name, host_state)
+        alias = "latest_D1" if model == "discriminator" else "latest"
+        if name != alias:
+            orbax_io.save_train_state(orbax_dir, alias, host_state)
+        if epoch is not None:
+            orbax_io.write_epoch_marker(orbax_dir, epoch)
 
     return checkpoint_fn
+
+
+def maybe_resume(args, state, alias="latest"):
+    """--resume <orbax dir>: restore full train state + epoch counter.
+
+    Returns (state, epoch_start_i). True resume is a capability the
+    reference lacks entirely (SURVEY.md section 5.4: it saves model-only
+    state dicts and its --epoch_start_i flag is dead).
+    """
+    if not args.resume:
+        return state, args.epoch_start_i
+    restored = orbax_io.restore_train_state(args.resume, alias,
+                                            template=jax.device_get(state))
+    epoch = orbax_io.latest_epoch_marker(args.resume)
+    start = (epoch + 1) if epoch is not None else args.epoch_start_i
+    print(f"resumed from {args.resume}/{alias} at epoch {start}")
+    return restored, start
 
 
 def main(argv=None):
@@ -208,6 +238,9 @@ def main(argv=None):
                                betas=(0.9, 0.99))  # train.py:172
         g_state = create_train_state(variables, g_opt)
         d_state = create_train_state(d_vars, d_opt)
+        g_state, args.epoch_start_i = maybe_resume(args, g_state)
+        if args.resume:
+            d_state, _ = maybe_resume(args, d_state, alias="latest_D1")
         if n_dev > 1:
             g_state = replicate_state(g_state, mesh)
             d_state = replicate_state(d_state, mesh)
@@ -234,6 +267,7 @@ def main(argv=None):
 
         opt = optax.MultiSteps(opt, every_k_schedule=args.iter_size)
     state = create_train_state(variables, opt)
+    state, args.epoch_start_i = maybe_resume(args, state)
     if n_dev > 1:
         state = replicate_state(state, mesh)
 

@@ -3,6 +3,7 @@ reference's single-process ``nn.DataParallel``, SURVEY.md sections 2.3/5.8)."""
 
 from .mesh import (
     create_mesh,
+    create_mesh_multihost,
     batch_sharding,
     replicated_sharding,
     shard_batch,
@@ -12,6 +13,7 @@ from .mesh import (
 
 __all__ = [
     "create_mesh",
+    "create_mesh_multihost",
     "batch_sharding",
     "replicated_sharding",
     "shard_batch",

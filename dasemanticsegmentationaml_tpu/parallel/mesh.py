@@ -24,7 +24,7 @@ The TPU-native equivalent here:
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +36,7 @@ from ..train.optim import set_learning_rate
 from ..train.state import TrainState
 
 DATA_AXIS = "data"
+DCN_AXIS = "dcn"
 
 
 def create_mesh(num_devices: Optional[int] = None,
@@ -48,7 +49,35 @@ def create_mesh(num_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def create_mesh_multihost(dcn_size: Optional[int] = None,
+                          devices: Optional[Sequence] = None,
+                          axis_names: Tuple[str, str] = (DCN_AXIS, DATA_AXIS)
+                          ) -> Mesh:
+    """Two-level ('dcn', 'data') mesh for multi-host data parallelism.
+
+    The slow DCN (inter-host network) axis is the OUTER mesh dim and the
+    fast ICI axis the inner one, so XLA's gradient all-reduce decomposes
+    into reduce-scatter/all-gather riding ICI within a host plus a single
+    small cross-host exchange per host group — collectives ride ICI, not
+    DCN (SURVEY.md section 5.8). On a real multi-host slice, dcn_size
+    defaults to ``jax.process_count()``; on a single host pass it
+    explicitly to shape the hierarchy (e.g. tests fake 2 hosts x 4 chips).
+    """
+    if devices is None:
+        devices = jax.devices()
+    if dcn_size is None:
+        dcn_size = max(jax.process_count(), 1)
+    n = len(devices)
+    if n % dcn_size:
+        raise ValueError(f"{n} devices not divisible by dcn={dcn_size}")
+    grid = np.asarray(devices).reshape(dcn_size, n // dcn_size)
+    return Mesh(grid, axis_names)
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
+    """Batch sharded over every mesh axis (data, or (dcn, data))."""
+    if len(mesh.axis_names) > 1:
+        return NamedSharding(mesh, P(tuple(mesh.axis_names)))
     return NamedSharding(mesh, P(axis_name))
 
 

@@ -207,16 +207,17 @@ def train_da(args, g_model, d_model, g_state, d_state, g_optimizer,
             # reference names: GTA5_<checkpoint_step>.pth + _D1.pth with
             # module. prefix (train.py:280-283)
             checkpoint_fn(g_state, f"GTA5_{args.checkpoint_step}",
-                          dataparallel_prefix=True)
+                          dataparallel_prefix=True, epoch=epoch)
             checkpoint_fn(d_state, f"GTA5_{args.checkpoint_step}_D1",
-                          dataparallel_prefix=True, model="discriminator")
+                          dataparallel_prefix=True, model="discriminator",
+                          epoch=epoch)
 
         if epoch % args.validation_step == 0 and epoch != 0:
             precision, miou = evaluate_fn(g_state)
             if miou > max_miou:
                 max_miou = miou
                 if checkpoint_fn is not None:
-                    checkpoint_fn(g_state, "best")
+                    checkpoint_fn(g_state, "best", epoch=epoch)
             if writer is not None:
                 writer.add_scalar("epoch/precision_val", precision, epoch)
                 writer.add_scalar("epoch/miou val", miou, epoch)

@@ -29,20 +29,24 @@ import optax
 def make_optimizer(name: str, learning_rate: float, momentum: float = 0.9,
                    weight_decay: float = 0.0,
                    betas=(0.9, 0.999), eps: float = 1e-8,
-                   mask: Optional[Any] = None):
+                   mask: Optional[Any] = None,
+                   weight_decay_mask: Optional[Any] = None):
     """Build an inject_hyperparams-wrapped optimizer.
 
     mask: optional pytree of bools -- False leaves receive no updates
     (used for the backbone classifier head that torch never updates because
     its grads stay None; see models/bisenet.py unused_param_mask).
+    weight_decay_mask: optional decay/no-decay bool pytree (see
+    group_weight_mask) -- decay applies only where True.
     """
     name = name.lower()
 
     def factory(learning_rate):
         if name == "sgd":
             tx = optax.chain(
-                optax.add_decayed_weights(weight_decay) if weight_decay
-                else optax.identity(),
+                optax.add_decayed_weights(weight_decay,
+                                          mask=weight_decay_mask)
+                if weight_decay else optax.identity(),
                 optax.trace(decay=momentum) if momentum
                 else optax.identity(),
                 optax.scale(-learning_rate),
@@ -67,6 +71,21 @@ def make_optimizer(name: str, learning_rate: float, momentum: float = 0.9,
         return tx
 
     return optax.inject_hyperparams(factory)(learning_rate=learning_rate)
+
+
+def group_weight_mask(params) -> Any:
+    """Decay/no-decay split (reference utils.py:273-295 ``group_weight``).
+
+    The reference builds two torch param groups: conv/linear *weights* get
+    weight decay, while biases and all norm-layer params don't. The optax
+    equivalent is a boolean mask pytree for ``optax.masked`` /
+    ``add_decayed_weights(mask=...)``: True (decay) exactly for rank>=2
+    kernels, False for biases/BN scale/BN bias (rank 1). Use with
+    ``make_optimizer(..., weight_decay_mask=group_weight_mask(params))``.
+    """
+    import jax
+
+    return jax.tree.map(lambda p: p.ndim >= 2, params)
 
 
 def set_learning_rate(opt_state, lr):

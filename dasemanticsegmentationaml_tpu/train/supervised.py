@@ -122,14 +122,14 @@ def train(args, model, state: TrainState, optimizer, loader_train,
 
         if epoch % args.checkpoint_step == 0 and epoch != 0 \
                 and checkpoint_fn is not None:
-            checkpoint_fn(state, "latest")
+            checkpoint_fn(state, "latest", epoch=epoch)
 
         if epoch % args.validation_step == 0 and epoch != 0:
             precision, miou = evaluate_fn(state)
             if miou > max_miou:
                 max_miou = miou
                 if checkpoint_fn is not None:
-                    checkpoint_fn(state, "best")
+                    checkpoint_fn(state, "best", epoch=epoch)
             if writer is not None:
                 writer.add_scalar("epoch/precision_val", precision, epoch)
                 writer.add_scalar("epoch/miou val", miou, epoch)

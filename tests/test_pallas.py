@@ -8,16 +8,25 @@ import pytest
 from dasemanticsegmentationaml_tpu.ops.pallas import upsample_argmax
 from dasemanticsegmentationaml_tpu.ops.pallas.upsample_argmax import (
     _xla_reference,
-    _col_matrix,
+    _tap_matrix,
+    _row_block,
 )
 from dasemanticsegmentationaml_tpu.ops.resize import bilinear_gather_plan
 
 
-def test_col_matrix_is_interpolation():
-    m = _col_matrix(8, 32)
+def test_tap_matrix_is_interpolation():
+    m = _tap_matrix(8, 32, transpose=False)
     # columns sum to 1 (affine interpolation), two taps per column
     np.testing.assert_allclose(m.sum(axis=0), np.ones(32), rtol=1e-6)
     assert ((m > 0).sum(axis=0) <= 2).all()
+    np.testing.assert_array_equal(_tap_matrix(8, 32, transpose=True), m.T)
+
+
+def test_row_block_divides():
+    assert _row_block(512) == 64
+    assert _row_block(32) == 32
+    assert _row_block(24) == 24
+    assert _row_block(12) == 0  # not a multiple of 8 -> XLA fallback
 
 
 def test_upsample_argmax_matches_xla():
