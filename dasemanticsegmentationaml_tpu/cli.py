@@ -193,6 +193,7 @@ def main(argv=None):
 
     writer = make_writer(args.tensorboard)
     logger = JsonlLogger(args.jsonl_log)
+    profiler = Profiler(args.profile_dir) if args.profile_dir else None
     checkpoint_fn = make_checkpoint_fn(args)
 
     if args.domain_shift:
@@ -251,7 +252,10 @@ def main(argv=None):
             prepare_source=make_prepare(args.aug_type, True),
             prepare_target=make_prepare(None, False),
             evaluate_fn=evaluate_fn_of, writer=writer, logger=logger,
-            checkpoint_fn=checkpoint_fn, d_head=args.d_head)
+            checkpoint_fn=checkpoint_fn, d_head=args.d_head,
+            profiler=profiler)
+        if profiler is not None:
+            profiler.close()
         precision, miou = evaluate_fn_of(g_state)
         return {"precision": precision, "miou": miou,
                 "max_miou": max_miou}
@@ -274,7 +278,9 @@ def main(argv=None):
     state, max_miou = train(
         args, model, state, opt, loader_train, loader_val,
         prepare=prepare_train, evaluate_fn=evaluate_fn_of, writer=writer,
-        logger=logger, checkpoint_fn=checkpoint_fn)
+        logger=logger, checkpoint_fn=checkpoint_fn, profiler=profiler)
+    if profiler is not None:
+        profiler.close()
     precision, miou = evaluate_fn_of(state)
     return {"precision": precision, "miou": miou, "max_miou": max_miou}
 

@@ -109,3 +109,38 @@ def run_experiment(static_args: Optional[List[str]] = None,
         "best_params": best[0] if best else None,
         "best_miou": best[1] if best else None,
     }
+
+
+def main(argv=None):
+    """CLI (reference experiment_nni.py equivalent):
+
+    python -m dasemanticsegmentationaml_tpu.hpo.experiment \
+        --max_trials 10 -- --root_source ... --root_target ... --root ...
+
+    Everything after ``--`` is forwarded verbatim to every trial
+    (including --aug_type, which the reference silently dropped).
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("--max_trials", type=int, default=10)
+    p.add_argument("--concurrency", type=int, default=1)
+    p.add_argument("--max_hours", type=float, default=12.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--results_path", type=str, default="./nni_results.jsonl")
+    p.add_argument("--use_nni", action="store_true",
+                   help="force the real NNI daemon (default: auto-detect)")
+    p.add_argument("trial_args", nargs="*",
+                   help="args after -- forwarded to each trial")
+    args = p.parse_args(argv)
+    result = run_experiment(
+        static_args=args.trial_args, max_trials=args.max_trials,
+        concurrency=args.concurrency, max_hours=args.max_hours,
+        seed=args.seed, results_path=args.results_path,
+        use_nni=args.use_nni or None)
+    print(json.dumps({k: v for k, v in result.items() if k != "trials"}))
+    return result
+
+
+if __name__ == "__main__":
+    main()

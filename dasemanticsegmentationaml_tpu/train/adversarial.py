@@ -150,7 +150,7 @@ def train_da(args, g_model, d_model, g_state, d_state, g_optimizer,
              d_optimizer, loader_source, loader_target, *,
              prepare_source, prepare_target, evaluate_fn, writer=None,
              logger=None, checkpoint_fn: Optional[Callable] = None,
-             d_head: int = 0):
+             d_head: int = 0, profiler=None):
     """Epoch loop (reference train.py:176-299)."""
     da_step = make_da_step(g_model, d_model, g_optimizer, d_optimizer,
                            lambda_adv=args.lambda_adv_target1,
@@ -180,6 +180,8 @@ def train_da(args, g_model, d_model, g_state, d_state, g_optimizer,
             g_state, d_state, metrics = da_step(
                 g_state, d_state, src_images, src_labels, tgt_images,
                 lr_g, lr_d)
+            if profiler is not None:
+                profiler.step()
             step_count += 1
             n_images += src_images.shape[0]
             seg_losses.append(metrics["loss_G"])

@@ -77,7 +77,7 @@ def make_train_step(model, optimizer, *, ohem: Optional[dict] = None,
 
 def train(args, model, state: TrainState, optimizer, loader_train,
           loader_val, *, prepare, evaluate_fn, writer=None, logger=None,
-          checkpoint_fn: Optional[Callable] = None):
+          checkpoint_fn: Optional[Callable] = None, profiler=None):
     """Epoch loop with reference-parity bookkeeping (train.py:63-120).
 
     prepare(batch, epoch, it) -> (images, labels) on device.
@@ -104,6 +104,8 @@ def train(args, model, state: TrainState, optimizer, loader_train,
                 break
             images, labels = prepare(batch, epoch, it)
             state, loss = train_step(state, images, labels, lr)
+            if profiler is not None:
+                profiler.step()
             step_count += 1
             losses.append(loss)
             n_images += images.shape[0]

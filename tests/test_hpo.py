@@ -1,0 +1,79 @@
+"""HPO harness tests (reference experiment_nni.py / train_nni.py
+equivalents; SURVEY.md section 3.5)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from dasemanticsegmentationaml_tpu.hpo.search import (SEARCH_SPACE,
+                                                      AnnealTuner,
+                                                      sample_space)
+
+
+def test_search_space_matches_reference():
+    """Reference experiment_nni.py:107-114 envelope."""
+    assert SEARCH_SPACE["batch_size"]["_type"] == "randint"
+    assert SEARCH_SPACE["batch_size"]["_value"] == [2, 12]
+    assert SEARCH_SPACE["lr"]["_type"] == "loguniform"
+    assert SEARCH_SPACE["lr"]["_value"] == [1e-4, 0.1]
+    assert SEARCH_SPACE["lr_D1"]["_value"] == [1e-6, 1e-3]
+    assert SEARCH_SPACE["num_epochs"]["_value"] == [15, 50]
+    assert SEARCH_SPACE["lambda_adv1"]["_value"] == [1e-5, 1e-3]
+    assert SEARCH_SPACE["weight_decay"]["_value"] == [1e-5, 0.01]
+
+
+def test_sampler_within_bounds():
+    import random
+
+    rng = random.Random(0)
+    for _ in range(50):
+        p = sample_space(rng)
+        assert 2 <= p["batch_size"] < 12
+        assert 1e-4 <= p["lr"] <= 0.1
+        assert 1e-6 <= p["lr_D1"] <= 1e-3
+        assert 15 <= p["num_epochs"] < 50
+        assert 1e-5 <= p["lambda_adv1"] <= 1e-3
+        assert 1e-5 <= p["weight_decay"] <= 0.01
+
+
+def test_anneal_tuner_tracks_best():
+    tuner = AnnealTuner(seed=0)
+    seen = []
+    for i in range(8):
+        p = tuner.generate_parameters()
+        val = float(i % 3)
+        tuner.receive_trial_result(p, val)
+        seen.append((p, val))
+    best_p, best_v = tuner.best
+    assert best_v == max(v for _, v in seen)
+
+
+def test_trial_main_runs_da(tmp_path):
+    """One in-process trial on tiny synthetic trees (the subprocess
+    boundary is exercised by the experiment CLI, too slow for unit CI)."""
+    from dasemanticsegmentationaml_tpu.hpo import trial
+    from tests.test_cli import _mk_cityscapes, _mk_gtav
+
+    cs = str(tmp_path / "cs")
+    gta = str(tmp_path / "gta")
+    _mk_cityscapes(cs, "train")
+    _mk_cityscapes(cs, "val", n=2)
+    _mk_gtav(gta)
+    out = str(tmp_path / "report.jsonl")
+    params = {"batch_size": 2, "lr": 0.01, "lr_D1": 1e-3,
+              "num_epochs": 1, "lambda_adv1": 1e-3, "weight_decay": 1e-4}
+    miou = trial.main([
+        "--nni_params", json.dumps(params), "--nni_output", out,
+        "--root", cs, "--root_source", gta, "--root_target", cs,
+        "--crop_height", "32", "--crop_width", "64",
+        "--max_steps_per_epoch", "1", "--num_workers", "1",
+        "--dtype", "float32", "--tensorboard", "False",
+        "--validation_step", "50", "--checkpoint_step", "50",
+        "--save_model_path", str(tmp_path / "ck"),
+        "--use_fused_eval", "False", "--num_devices", "1",
+    ])
+    assert np.isfinite(miou)
+    recs = [json.loads(line) for line in open(out)]
+    assert any(r["type"] == "final" for r in recs)
