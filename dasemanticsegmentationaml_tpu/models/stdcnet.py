@@ -65,10 +65,26 @@ def avg_pool_3x3_s2(x: jax.Array) -> jax.Array:
 
     Matches ``nn.AvgPool2d(kernel_size=3, stride=2, padding=1)`` used as the
     CatBottleneck skip (reference stdcnet.py:78): zero-pad then divide by 9.
+
+    bf16 path: a ones-kernel depthwise conv with fp32 accumulation --
+    ``reduce_window`` lowers poorly on TPU (measured ~1.5x slower) and the
+    fp32 upcast it needed doubled HBM traffic; the conv reads bf16 and
+    accumulates fp32, same sum-then-divide rounding as the reference.
+    fp32 path: keep reduce_window (bit-exact parity; a HIGHEST-precision
+    conv would still round fp32 inputs through bf16 passes).
     """
-    acc = jnp.float32 if x.dtype in (jnp.bfloat16, jnp.float16) else x.dtype
+    if x.dtype == jnp.bfloat16:
+        c = x.shape[-1]
+        ones = jnp.ones((3, 3, 1, c), x.dtype)
+        summed = jax.lax.conv_general_dilated(
+            x, ones, (2, 2), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+            preferred_element_type=jnp.float32,
+        )
+        return (summed / 9.0).astype(x.dtype)
     summed = jax.lax.reduce_window(
-        x.astype(acc),
+        x,
         0.0,
         jax.lax.add,
         window_dimensions=(1, 3, 3, 1),
