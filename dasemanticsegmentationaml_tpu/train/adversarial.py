@@ -171,12 +171,21 @@ def train_da(args, g_model, d_model, g_state, d_state, g_optimizer,
         t0 = time.time()
         n_images = 0
         max_steps = getattr(args, "max_steps_per_epoch", None)
-        for it, (src_batch, tgt_batch) in enumerate(
-                zip(loader_source, loader_target)):
-            if max_steps is not None and it >= max_steps:
-                break
-            src_images, src_labels = prepare_source(src_batch, epoch, it)
-            tgt_images, _ = prepare_target(tgt_batch, epoch, it)
+
+        def prepared_batches():
+            # 2-deep eager lookahead; see train/supervised.py.
+            for it_, (src_b, tgt_b) in enumerate(
+                    zip(loader_source, loader_target)):
+                if max_steps is not None and it_ >= max_steps:
+                    break
+                src_i, src_l = prepare_source(src_b, epoch, it_)
+                tgt_i, _ = prepare_target(tgt_b, epoch, it_)
+                yield src_i, src_l, tgt_i
+
+        from ..data.pipeline import device_prefetch
+
+        for it, (src_images, src_labels, tgt_images) in enumerate(
+                device_prefetch(prepared_batches(), depth=2)):
             g_state, d_state, metrics = da_step(
                 g_state, d_state, src_images, src_labels, tgt_images,
                 lr_g, lr_d)

@@ -99,10 +99,21 @@ def train(args, model, state: TrainState, optimizer, loader_train,
         t0 = time.time()
         n_images = 0
         max_steps = getattr(args, "max_steps_per_epoch", None)
-        for it, batch in enumerate(loader_train):
-            if max_steps is not None and it >= max_steps:
-                break
-            images, labels = prepare(batch, epoch, it)
+
+        def prepared_batches():
+            # Eager 2-deep lookahead (data/pipeline.device_prefetch):
+            # prepare() dispatches the H2D copy + device transform
+            # asynchronously, so the next batch stages while the current
+            # step runs (SURVEY.md section 2.2 row 5 double buffering).
+            for it_, batch_ in enumerate(loader_train):
+                if max_steps is not None and it_ >= max_steps:
+                    break
+                yield prepare(batch_, epoch, it_)
+
+        from ..data.pipeline import device_prefetch
+
+        for it, (images, labels) in enumerate(
+                device_prefetch(prepared_batches(), depth=2)):
             state, loss = train_step(state, images, labels, lr)
             if profiler is not None:
                 profiler.step()
