@@ -74,15 +74,17 @@ def avg_pool_3x3_s2(x: jax.Array) -> jax.Array:
     conv would still round fp32 inputs through bf16 passes).
     """
     if x.dtype == jnp.bfloat16:
+        # All-bf16 so the automatic VJP stays dtype-consistent; a 9-element
+        # window sum in bf16 is within ~1 ulp of the fp32 sum, matching
+        # what torch AMP's fp16 pooling tolerates.
         c = x.shape[-1]
         ones = jnp.ones((3, 3, 1, c), x.dtype)
         summed = jax.lax.conv_general_dilated(
             x, ones, (2, 2), [(1, 1), (1, 1)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=c,
-            preferred_element_type=jnp.float32,
         )
-        return (summed / 9.0).astype(x.dtype)
+        return summed / jnp.bfloat16(9.0)
     summed = jax.lax.reduce_window(
         x,
         0.0,

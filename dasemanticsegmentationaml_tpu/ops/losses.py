@@ -26,10 +26,16 @@ def _per_pixel_ce(logits: jax.Array, labels: jax.Array, ignore_index: int):
     num_classes = logits.shape[-1]
     valid = (labels != ignore_index) & (labels >= 0) & (labels < num_classes)
     safe_labels = jnp.where(valid, labels, 0).astype(jnp.int32)
-    lse = jax.nn.logsumexp(logits, axis=-1)
-    picked = jnp.take_along_axis(
-        logits, safe_labels[..., None], axis=-1
-    ).squeeze(-1)
+    # manual logsumexp: jax.nn.logsumexp's inf-handling selects lower to a
+    # pathological TPU program here (measured >100x slower than this form)
+    m = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
+    lse = jnp.squeeze(m, -1) + jnp.log(
+        jnp.sum(jnp.exp(logits - m), axis=-1))
+    # one-hot contraction instead of take_along_axis: a lane gather on TPU
+    # serializes (measured ~70 ms per head at 8x512x1024x19); the
+    # compare+select+sum form is pure VPU and fuses with the lse pass.
+    one_hot = jax.nn.one_hot(safe_labels, num_classes, dtype=jnp.float32)
+    picked = jnp.sum(logits * one_hot, axis=-1)
     loss = lse - picked
     return jnp.where(valid, loss, 0.0), valid
 
