@@ -153,8 +153,8 @@ def main(argv=None):
     loader_train = None if train_ds is None else Loader(
         train_ds, args.batch_size, shuffle=True, seed=args.seed,
         num_workers=args.num_workers)
-    loader_val = Loader(val_ds, 1, shuffle=False, drop_last=False,
-                        num_workers=args.num_workers)
+    loader_val = Loader(val_ds, args.eval_batch_size, shuffle=False,
+                        drop_last=False, num_workers=args.num_workers)
 
     # ---- model ------------------------------------------------------------
     model = build_model(args)

@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--crop_height", type=int, default=512)
     p.add_argument("--crop_width", type=int, default=1024)
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--eval_batch_size", type=int, default=1,
+                   help="validation batch size (reference val() uses 1, "
+                        "train.py:486-491; larger is faster on TPU and "
+                        "metric-identical: the confusion matrix is a sum)")
     p.add_argument("--learning_rate", type=float, default=0.01)
     p.add_argument("--learning_rate_D", type=float, default=1e-3)
     p.add_argument("--num_workers", type=int, default=4)
