@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .augment import augment_batch
-from .labels import train_id_lut
+from .labels import remap_train_ids
 
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
@@ -54,8 +54,7 @@ def prepare_batch(images_u8: jax.Array, labels_u8: jax.Array,
     imgs = (imgs - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
     imgs = imgs.astype(dtype)
     if remap:
-        lut = jnp.asarray(train_id_lut())
-        labels = lut[labels.astype(jnp.int32)]
+        labels = remap_train_ids(labels)
     labels = labels.astype(jnp.int32)
     return imgs, labels
 
