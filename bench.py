@@ -73,6 +73,37 @@ def bench_forward(batch_size: int, height: int = 512, width: int = 1024,
     return batch_size * CHAIN / best_dt
 
 
+def bench_train_step(batch_size: int = 32, height: int = 512,
+                     width: int = 1024, iters: int = 8) -> float:
+    """Supervised train-step throughput (secondary metric)."""
+    from dasemanticsegmentationaml_tpu.models import BiSeNet
+    from dasemanticsegmentationaml_tpu.models.bisenet import (
+        init_bisenet_variables, unused_param_mask)
+    from dasemanticsegmentationaml_tpu.train import (create_train_state,
+                                                     make_train_step)
+    from dasemanticsegmentationaml_tpu.train.optim import make_optimizer
+
+    model = BiSeNet(n_classes=19, dtype=jnp.bfloat16)
+    v = init_bisenet_variables(model, jax.random.PRNGKey(0),
+                               (1, height, width, 3))
+    opt = make_optimizer("sgd", 0.01, momentum=0.9, weight_decay=1e-4,
+                         mask=unused_param_mask(v["params"]))
+    state = create_train_state(v, opt)
+    step = make_train_step(model, opt)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch_size, height, width, 3)),
+                    jnp.bfloat16)
+    y = jnp.asarray(rng.integers(0, 19, (batch_size, height, width)),
+                    jnp.int32)
+    state, loss = step(state, x, y, 0.01)
+    float(loss)  # sync after compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = step(state, x, y, 0.01)
+    float(loss)  # the loss readback serializes the chain
+    return batch_size * iters / (time.perf_counter() - t0)
+
+
 def main():
     backend = jax.default_backend()
     batches = [16, 32, 64, 128] if backend == "tpu" else [2]
@@ -86,6 +117,12 @@ def main():
         print(f"bs={bs}: {fps:.1f} img/s", file=sys.stderr)
         if fps > best:
             best, best_bs = fps, bs
+    train_fps = 0.0
+    if backend == "tpu":
+        try:
+            train_fps = bench_train_step()
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
     result = {
         "metric": "images_per_sec_per_chip_bisenet_stdc813_1024x512_infer",
         "value": round(best, 2),
@@ -94,6 +131,7 @@ def main():
         "batch_size": best_bs,
         "backend": backend,
         "dtype": "bfloat16",
+        "train_images_per_sec": round(train_fps, 2),
     }
     print(json.dumps(result))
 

@@ -4,6 +4,8 @@ reference's single-process ``nn.DataParallel``, SURVEY.md sections 2.3/5.8)."""
 from .mesh import (
     create_mesh,
     create_mesh_multihost,
+    create_mesh_spatial,
+    spatial_batch_sharding,
     batch_sharding,
     replicated_sharding,
     shard_batch,
@@ -14,6 +16,8 @@ from .mesh import (
 __all__ = [
     "create_mesh",
     "create_mesh_multihost",
+    "create_mesh_spatial",
+    "spatial_batch_sharding",
     "batch_sharding",
     "replicated_sharding",
     "shard_batch",

@@ -37,6 +37,7 @@ from ..train.state import TrainState
 
 DATA_AXIS = "data"
 DCN_AXIS = "dcn"
+SPATIAL_AXIS = "spatial"
 
 
 def create_mesh(num_devices: Optional[int] = None,
@@ -76,9 +77,35 @@ def create_mesh_multihost(dcn_size: Optional[int] = None,
 
 def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
     """Batch sharded over every mesh axis (data, or (dcn, data))."""
+    if SPATIAL_AXIS in mesh.axis_names:
+        return spatial_batch_sharding(mesh)
     if len(mesh.axis_names) > 1:
         return NamedSharding(mesh, P(tuple(mesh.axis_names)))
     return NamedSharding(mesh, P(axis_name))
+
+
+def create_mesh_spatial(data_size: int, spatial_size: int,
+                        devices: Optional[Sequence] = None) -> Mesh:
+    """('data', 'spatial') mesh: batch x image-height decomposition.
+
+    The CNN analogue of sequence parallelism (SURVEY.md section 2.3): the
+    H dimension of NHWC activations is sharded over the 'spatial' axis
+    and XLA SPMD inserts the conv halo exchanges automatically. Lets a
+    single large image (or a batch smaller than the chip count) scale
+    past one chip's HBM/compute.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = data_size * spatial_size
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    grid = np.asarray(devices[:n]).reshape(data_size, spatial_size)
+    return Mesh(grid, (DATA_AXIS, SPATIAL_AXIS))
+
+
+def spatial_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """NHWC batch sharded on 'data', H sharded on 'spatial'."""
+    return NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

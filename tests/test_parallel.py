@@ -109,3 +109,33 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(4)
+
+
+def test_spatial_sharding_forward_matches_unsharded():
+    """H-sharded forward (XLA SPMD halo exchange) == single-device forward.
+
+    The CNN analogue of sequence parallelism (SURVEY.md section 2.3):
+    2 data x 4 spatial mesh, image height split over 'spatial'.
+    """
+    from dasemanticsegmentationaml_tpu.parallel import (
+        create_mesh_spatial, spatial_batch_sharding, replicate_state)
+
+    model = BiSeNet(n_classes=19)
+    variables = init_bisenet_variables(model, jax.random.PRNGKey(0),
+                                       (1, H, W, 3))
+    rng = np.random.default_rng(1)
+    images = rng.standard_normal((2, H, W, 3)).astype(np.float32)
+
+    ref = np.asarray(model.apply(variables, jnp.asarray(images),
+                                 train=False)[0])
+
+    mesh = create_mesh_spatial(2, 4)
+    vr = replicate_state(variables, mesh)
+    xs = jax.device_put(images, spatial_batch_sharding(mesh))
+    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False)[0],
+                  in_shardings=(jax.tree.map(
+                      lambda _: jax.sharding.NamedSharding(
+                          mesh, jax.sharding.PartitionSpec()), variables),
+                      spatial_batch_sharding(mesh)))
+    out = np.asarray(fwd(vr, xs))
+    np.testing.assert_allclose(out, ref, rtol=5e-3, atol=5e-4)
