@@ -113,7 +113,11 @@ class Loader:
             for b in range(n_batches):
                 if b + ahead < n_batches:
                     submit(b + ahead)
-                samples = [f.result() for f in pending.popleft()]
+                # watchdog: a wedged decode (bad file, dead NFS mount)
+                # surfaces as a loud TimeoutError instead of a silent
+                # hang (SURVEY.md section 5.2)
+                samples = [f.result(timeout=120.0)
+                           for f in pending.popleft()]
                 images = np.stack([s[0] for s in samples])
                 labels = np.stack([s[1] for s in samples])
                 yield images, labels

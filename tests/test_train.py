@@ -226,3 +226,39 @@ def test_evaluate_perfect_prediction(bisenet_setup):
     # absent from both; mIoU over present classes is 1, absent are 0/0~0.
     present = len(np.unique(pred))
     assert miou == pytest.approx(present / 19, abs=1e-3)
+
+
+def test_da_step_all_discriminator_variants():
+    """One DA step with each of the three reference discriminators
+    (FCD / depthwise / depthwise+BN -- reference train.py:144-152)."""
+    import jax
+    import jax.numpy as jnp
+    from dasemanticsegmentationaml_tpu.models.bisenet import (
+        init_bisenet_variables, unused_param_mask)
+    from dasemanticsegmentationaml_tpu.train import create_train_state
+    from dasemanticsegmentationaml_tpu.train.adversarial import make_da_step
+    from dasemanticsegmentationaml_tpu.train.optim import make_optimizer
+
+    h, w = 32, 64
+    g = BiSeNet(n_classes=19)
+    gv = init_bisenet_variables(g, jax.random.PRNGKey(0), (1, h, w, 3))
+    g_opt = make_optimizer("sgd", 0.01, momentum=0.9,
+                           mask=unused_param_mask(gv["params"]))
+    rng = np.random.default_rng(0)
+    sx = jnp.asarray(rng.standard_normal((2, h, w, 3)), jnp.float32)
+    sy = jnp.asarray(rng.integers(0, 19, (2, h, w)), jnp.int32)
+    tx = jnp.asarray(rng.standard_normal((2, h, w, 3)), jnp.float32)
+
+    for depthwise, batch_norm in ((False, False), (True, False),
+                                  (True, True)):
+        d = build_discriminator(19, depthwise=depthwise,
+                                batch_norm=batch_norm)
+        dv = d.init(jax.random.PRNGKey(1), jnp.zeros((1, h, w, 19)))
+        d_opt = make_optimizer("adam", 1e-3, betas=(0.9, 0.99))
+        gs = create_train_state(gv, g_opt)
+        ds = create_train_state(dv, d_opt)
+        step = make_da_step(g, d, g_opt, d_opt, lambda_adv=1e-3,
+                            donate=False)
+        gs2, ds2, metrics = step(gs, ds, sx, sy, tx, 0.01, 1e-3)
+        assert np.isfinite(float(metrics["loss_G"])), (depthwise, batch_norm)
+        assert np.isfinite(float(metrics["loss_adv"]))
