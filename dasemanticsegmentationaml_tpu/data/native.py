@@ -26,6 +26,19 @@ _SO_PATH = os.path.join(os.path.dirname(__file__), "..", "native",
                         "libdsegloader.so")
 
 
+def _build() -> bool:
+    """Best-effort `make` of the shared library (fresh checkouts)."""
+    import subprocess
+
+    makedir = os.path.dirname(os.path.abspath(_SO_PATH))
+    try:
+        proc = subprocess.run(["make", "-C", makedir], timeout=120,
+                              capture_output=True)
+        return proc.returncode == 0
+    except Exception:
+        return False
+
+
 def _load():
     global _LIB, _LIB_TRIED
     with _LOCK:
@@ -33,6 +46,8 @@ def _load():
             return _LIB
         _LIB_TRIED = True
         path = os.path.abspath(_SO_PATH)
+        if not os.path.exists(path) and not _build():
+            return None
         if not os.path.exists(path):
             return None
         try:
