@@ -65,6 +65,12 @@ class CityScapes(_PairDataset):
         root = os.path.normpath(root)
         image_dir = os.path.join(root, "images", mode)
         label_dir = os.path.join(root, "gtFine", mode)
+        for d in (image_dir, label_dir):
+            if not os.path.isdir(d):
+                raise FileNotFoundError(
+                    f"CityScapes {mode}: expected directory {d!r} "
+                    "(layout: <root>/images/<mode>/<city>/*.png + "
+                    "<root>/gtFine/<mode>/<city>/*labelTrainIds.png)")
 
         images, labels = [], []
         for city in sorted(os.listdir(image_dir)):
@@ -101,6 +107,11 @@ class GtaV(_PairDataset):
         root = os.path.normpath(root)
         image_dir = os.path.join(root, "images")
         label_dir = os.path.join(root, "labels")
+        for d in (image_dir, label_dir):
+            if not os.path.isdir(d):
+                raise FileNotFoundError(
+                    f"GtaV: expected directory {d!r} "
+                    "(layout: <root>/images/*.png + <root>/labels/*.png)")
         images = sorted(
             os.path.join(image_dir, f) for f in os.listdir(image_dir)
         )
