@@ -61,8 +61,14 @@ def evaluate(model, variables, loader, num_classes: int, *, prepare,
     hist = np.zeros((num_classes, num_classes), np.float64)
     correct = 0.0
     total = 0.0
-    for batch in loader:
-        images, labels = prepare(batch)
+
+    from ..data.pipeline import device_prefetch
+
+    def prepared():
+        for batch in loader:
+            yield prepare(batch)
+
+    for images, labels in device_prefetch(prepared(), depth=2):
         h, c, t = step(variables, images, labels)
         hist += np.asarray(h, np.float64)
         correct += float(c)
