@@ -23,6 +23,7 @@ vs that anchor; the north-star is >=5x (BASELINE.json).
 """
 
 import json
+import os
 import sys
 import time
 import traceback
@@ -106,7 +107,10 @@ def bench_train_step(batch_size: int = 32, height: int = 512,
 
 def main():
     backend = jax.default_backend()
-    batches = [16, 32, 64, 128] if backend == "tpu" else [2]
+    # batch 128 measured best on v5e (64/128 sweep; 16/32 were ~40% lower
+    # and 256 regressed); keep the sweep small so the whole bench stays
+    # within a ~8 min budget despite ~2 min remote compiles per program.
+    batches = [64, 128] if backend == "tpu" else [2]
     best, best_bs = 0.0, batches[0]
     for bs in batches:
         try:
@@ -117,8 +121,11 @@ def main():
         print(f"bs={bs}: {fps:.1f} img/s", file=sys.stderr)
         if fps > best:
             best, best_bs = fps, bs
+    # The train-step program (fused upsample+CE custom-VJP kernels)
+    # takes several minutes of remote compile; keep the primary metric's
+    # runtime bounded and only measure training when asked.
     train_fps = 0.0
-    if backend == "tpu":
+    if backend == "tpu" and os.environ.get("BENCH_TRAIN") == "1":
         try:
             train_fps = bench_train_step()
         except Exception:
@@ -131,8 +138,9 @@ def main():
         "batch_size": best_bs,
         "backend": backend,
         "dtype": "bfloat16",
-        "train_images_per_sec": round(train_fps, 2),
     }
+    if train_fps:
+        result["train_images_per_sec"] = round(train_fps, 2)
     print(json.dumps(result))
 
 

@@ -50,11 +50,33 @@ def make_train_step(model, optimizer, *, ohem: Optional[dict] = None,
                                       ohem["keep_num"], ignore_index)
         return cross_entropy_ignore(out, labels, ignore_index)
 
+    # Plain-CE loss on TPU: run the heads at native stride and fuse the
+    # align_corners upsample into the CE (ops/pallas/fused_ce.py) so the
+    # full-resolution logits never materialize in HBM fwd or bwd --
+    # mathematically the reference's resize-then-CE (train.py:86-89).
+    use_fused_loss = ohem is None and jax.default_backend() == "tpu"
+
     def step(state: TrainState, images, labels, lr):
         def loss_fn(params):
+            variables = {"params": params,
+                         "batch_stats": state.batch_stats}
+            if use_fused_loss:
+                from ..ops.pallas.fused_ce import cross_entropy_upsampled
+
+                (f, f16, f32), mutated = model.apply(
+                    variables, images, train=True,
+                    mutable=["batch_stats"],
+                    method=type(model).features)
+                hw = images.shape[1:3]
+                loss = (cross_entropy_upsampled(f, labels, hw,
+                                                ignore_index)
+                        + cross_entropy_upsampled(f16, labels, hw,
+                                                  ignore_index)
+                        + cross_entropy_upsampled(f32, labels, hw,
+                                                  ignore_index))
+                return loss, mutated["batch_stats"]
             (out, out16, out32), mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                images, train=True, mutable=["batch_stats"])
+                variables, images, train=True, mutable=["batch_stats"])
             loss1 = loss_of(out, labels)
             loss2 = loss_of(out16, labels)
             loss3 = loss_of(out32, labels)
