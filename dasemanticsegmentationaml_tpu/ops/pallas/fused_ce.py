@@ -17,9 +17,15 @@ the block and emits low-res logit gradients directly:
     pick = sum_j where(labels == j, u_j)
     out  = [sum valid*(lse - pick), sum valid]
 
-  bwd per image (static loop over row-blocks, accumulating in VMEM):
+  bwd per (image, row-block), accumulating into the output block (its
+  index map ignores the row-block grid axis, so Mosaic keeps it resident
+  in VMEM across the image's sequential row-block iterations):
     P_j = (softmax_j - onehot_j) * valid * g/N
     dF += Mr[blk]^T @ concat_j(P_j @ Mc^T)
+  The grid formulation keeps the compiled program one row-block long
+  (the earlier fully-unrolled in-kernel loop over nb row-blocks x 19
+  class dots compiled ~5 min through the remote tunnel; this is ~nb x
+  smaller with bit-identical accumulation order).
 
 Traffic per image per head: read h*w*C*2 + H*W*4 (labels) + write h*w*C*4
 — ~2.6 MB vs ~2.6 GB unfused fwd+bwd: a ~1000x cut, far above the ~6x
@@ -93,7 +99,8 @@ def _fwd_kernel(x_ref, lab_ref, mr_ref, mc_ref, out_ref, *,
 
 
 def _fwd_call(logits_t: jax.Array, labels: jax.Array,
-              out_hw: Tuple[int, int], ignore: int):
+              out_hw: Tuple[int, int], ignore: int,
+              interpret: bool = False):
     """logits_t: (B, h, C, w) bf16; labels (B, H, W) int32.
 
     Returns (loss_sums, valid_counts) per (image, row-block)."""
@@ -129,6 +136,7 @@ def _fwd_call(logits_t: jax.Array, labels: jax.Array,
             bytes_accessed=b * (h * c * w * 2 + out_h * out_w * 4),
             transcendentals=b * out_h * out_w * c,
         ),
+        interpret=interpret,
     )(x2, labels, mr, mc)
     return out[:, :, 0, 0], out[:, :, 1, 0]
 
@@ -136,47 +144,51 @@ def _fwd_call(logits_t: jax.Array, labels: jax.Array,
 # ------------------------------------------------------------ backward
 
 def _bwd_kernel(x_ref, lab_ref, mr_ref, mc_ref, mct_ref, g_ref,
-                dx_ref, *, c: int, ignore: int, r: int, nb: int):
+                dx_ref, *, c: int, ignore: int):
     w = mct_ref.shape[1]
-    h = x_ref.shape[1]
     mcb = mc_ref[:, :].astype(jnp.bfloat16)
     mctb = mct_ref[:, :].astype(jnp.bfloat16)
     gscale = g_ref[pl.program_id(0), 0]
-    acc = jnp.zeros((h, c * w), jnp.float32)
-    for hb in range(nb):  # static loop over row blocks
-        mr_blk = mr_ref[hb * r:(hb + 1) * r, :].astype(jnp.bfloat16)
-        rows = jnp.dot(mr_blk, x_ref[0],
-                       preferred_element_type=jnp.float32)
-        rows = rows.astype(jnp.bfloat16)
-        lab = lab_ref[0, hb * r:(hb + 1) * r]
-        valid = (lab >= 0) & (lab < c) & (lab != ignore)
-        us = []
-        m = None
-        for j in range(c):
-            u = jnp.dot(rows[:, j * w:(j + 1) * w], mcb,
-                        preferred_element_type=jnp.float32)
-            us.append(u)
-            m = u if m is None else jnp.maximum(m, u)
-        s = None
-        for j in range(c):
-            e = jnp.exp(us[j] - m)
-            s = e if s is None else s + e
-        scale = jnp.where(valid, gscale, 0.0) / s
-        ts = []
-        for j in range(c):
-            p = jnp.exp(us[j] - m) * scale \
-                - jnp.where(lab == j, 1.0, 0.0) * jnp.where(valid, gscale,
-                                                            0.0)
-            ts.append(jnp.dot(p.astype(jnp.bfloat16), mctb,
-                              preferred_element_type=jnp.float32))
-        t = jnp.concatenate(ts, axis=1)                     # (r, c*w)
-        acc = acc + jnp.dot(mr_blk.transpose(), t.astype(jnp.bfloat16),
-                            preferred_element_type=jnp.float32)
-    dx_ref[0] = acc
+    mr_blk = mr_ref[:, :].astype(jnp.bfloat16)              # (r, h)
+    rows = jnp.dot(mr_blk, x_ref[0],
+                   preferred_element_type=jnp.float32)
+    rows = rows.astype(jnp.bfloat16)
+    lab = lab_ref[0]                                        # (r, W)
+    valid = (lab >= 0) & (lab < c) & (lab != ignore)
+    us = []
+    m = None
+    for j in range(c):
+        u = jnp.dot(rows[:, j * w:(j + 1) * w], mcb,
+                    preferred_element_type=jnp.float32)
+        us.append(u)
+        m = u if m is None else jnp.maximum(m, u)
+    s = None
+    for j in range(c):
+        e = jnp.exp(us[j] - m)
+        s = e if s is None else s + e
+    gv = jnp.where(valid, gscale, 0.0)
+    scale = gv / s
+    ts = []
+    for j in range(c):
+        p = jnp.exp(us[j] - m) * scale - jnp.where(lab == j, 1.0, 0.0) * gv
+        ts.append(jnp.dot(p.astype(jnp.bfloat16), mctb,
+                          preferred_element_type=jnp.float32))
+    t = jnp.concatenate(ts, axis=1)                         # (r, c*w)
+    contrib = jnp.dot(mr_blk.transpose(), t.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        dx_ref[0] = contrib
+
+    @pl.when(pl.program_id(1) != 0)
+    def _accumulate():
+        dx_ref[0] += contrib
 
 
 def _bwd_call(logits_t: jax.Array, labels: jax.Array,
-              out_hw: Tuple[int, int], ignore: int, gscale: jax.Array):
+              out_hw: Tuple[int, int], ignore: int, gscale: jax.Array,
+              interpret: bool = False):
     b, h, c, w = logits_t.shape
     out_h, out_w = out_hw
     r = _row_block(out_h)
@@ -189,26 +201,26 @@ def _bwd_call(logits_t: jax.Array, labels: jax.Array,
     gs = jnp.broadcast_to(gscale.reshape(b, 1), (b, 1)).astype(jnp.float32)
 
     grid_spec = pl.GridSpec(
-        grid=(b,),
+        grid=(b, nb),
         in_specs=[
-            pl.BlockSpec((1, h, c * w), lambda bi: (bi, 0, 0),
+            pl.BlockSpec((1, h, c * w), lambda bi, oi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, out_h, out_w), lambda bi: (bi, 0, 0),
+            pl.BlockSpec((1, r, out_w), lambda bi, oi: (bi, oi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((out_h, h), lambda bi: (0, 0),
+            pl.BlockSpec((r, h), lambda bi, oi: (oi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((w, out_w), lambda bi: (0, 0),
+            pl.BlockSpec((w, out_w), lambda bi, oi: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((out_w, w), lambda bi: (0, 0),
+            pl.BlockSpec((out_w, w), lambda bi, oi: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(gs.shape, lambda bi: (0, 0),
+            pl.BlockSpec(gs.shape, lambda bi, oi: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, h, c * w), lambda bi: (bi, 0, 0),
+        out_specs=pl.BlockSpec((1, h, c * w), lambda bi, oi: (bi, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     dx = pl.pallas_call(
-        functools.partial(_bwd_kernel, c=c, ignore=ignore, r=r, nb=nb),
+        functools.partial(_bwd_kernel, c=c, ignore=ignore),
         out_shape=jax.ShapeDtypeStruct((b, h, c * w), jnp.float32),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
@@ -216,30 +228,31 @@ def _bwd_call(logits_t: jax.Array, labels: jax.Array,
             bytes_accessed=b * (h * c * w * 6 + out_h * out_w * 4),
             transcendentals=2 * b * out_h * out_w * c,
         ),
+        interpret=interpret,
     )(x2, labels, mr, mc, mct, gs)
     return dx.reshape(b, h, c, w)
 
 
 # ---------------------------------------------------------- public api
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _fused_ce(logits_t, labels, out_hw, ignore):
-    sums, counts = _fwd_call(logits_t, labels, out_hw, ignore)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _fused_ce(logits_t, labels, out_hw, ignore, interpret=False):
+    sums, counts = _fwd_call(logits_t, labels, out_hw, ignore, interpret)
     n = jnp.maximum(jnp.sum(counts), 1.0)
     return jnp.sum(sums) / n
 
 
-def _fused_ce_fwd(logits_t, labels, out_hw, ignore):
-    sums, counts = _fwd_call(logits_t, labels, out_hw, ignore)
+def _fused_ce_fwd(logits_t, labels, out_hw, ignore, interpret):
+    sums, counts = _fwd_call(logits_t, labels, out_hw, ignore, interpret)
     n = jnp.maximum(jnp.sum(counts), 1.0)
     return jnp.sum(sums) / n, (logits_t, labels, n)
 
 
-def _fused_ce_bwd(out_hw, ignore, res, g):
+def _fused_ce_bwd(out_hw, ignore, interpret, res, g):
     logits_t, labels, n = res
     b = logits_t.shape[0]
     gscale = jnp.broadcast_to(g / n, (b,))
-    dx = _bwd_call(logits_t, labels, out_hw, ignore, gscale)
+    dx = _bwd_call(logits_t, labels, out_hw, ignore, gscale, interpret)
     return dx.astype(logits_t.dtype), None
 
 
@@ -262,13 +275,15 @@ def cross_entropy_upsampled(logits: jax.Array, labels: jax.Array,
     logits: (B, h, w, C) low-res head output; labels: (B, H, W) ints.
     Equals cross_entropy_ignore(resize(logits, out_hw), labels) without
     materializing the upsampled logits. Falls back to the XLA path
-    off-TPU or for unsupported shapes.
+    off-TPU or for unsupported shapes. force: 'auto' | 'pallas' | 'xla'
+    | 'interpret' (run the Pallas kernels in interpret mode, any backend
+    — used by the CPU tests to exercise the real kernel bodies).
     """
-    if force != "pallas" and (
+    if force not in ("pallas", "interpret") and (
             force == "xla"
             or jax.default_backend() != "tpu"
             or not supported(logits.shape, out_hw)):
         return _xla_reference(logits, labels, out_hw, ignore_index)
     logits_t = jnp.transpose(logits.astype(jnp.bfloat16), (0, 1, 3, 2))
     return _fused_ce(logits_t, labels.astype(jnp.int32), tuple(out_hw),
-                     int(ignore_index))
+                     int(ignore_index), force == "interpret")

@@ -45,6 +45,43 @@ def test_fallback_grads_flow():
     assert float(jnp.abs(g).sum()) > 0
 
 
+def test_interpret_kernel_matches_xla_fwd_and_bwd():
+    """Run the real Pallas kernel bodies in interpret mode on CPU and
+    check loss + grads against the XLA reference path. The kernels use
+    bf16 matmul inputs (like the XLA bf16 resize), so tolerances are
+    bf16-sized."""
+    rng = np.random.default_rng(2)
+    f = jnp.asarray(rng.standard_normal((2, 16, 16, 19)), jnp.float32)
+    y = jnp.asarray(
+        np.where(rng.uniform(size=(2, 64, 128)) < 0.1, 255,
+                 rng.integers(0, 19, (2, 64, 128))), jnp.int32)
+
+    def loss(force):
+        return lambda ff: FC.cross_entropy_upsampled(
+            ff, y, (64, 128), force=force)
+
+    ref, gref = jax.value_and_grad(loss("xla"))(f)
+    # bf16-ize the XLA path's inputs for an apples-to-apples tolerance
+    got, ggot = jax.value_and_grad(loss("interpret"))(f)
+    assert np.isfinite(float(got))
+    assert abs(float(got) - float(ref)) / abs(float(ref)) < 2e-2
+    gref, ggot = np.asarray(gref), np.asarray(ggot)
+    denom = np.abs(gref).max()
+    assert np.abs(ggot - gref).max() / denom < 5e-2
+
+
+def test_interpret_kernel_ignore_everything():
+    """All-ignore labels: loss 0 (count clamped to 1), zero grads."""
+    f = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (1, 8, 16, 19)), jnp.float32)
+    y = jnp.full((1, 32, 128), 255, jnp.int32)
+    val, g = jax.value_and_grad(
+        lambda ff: FC.cross_entropy_upsampled(ff, y, (32, 128),
+                                              force="interpret"))(f)
+    assert float(val) == 0.0
+    assert float(jnp.abs(g).max()) == 0.0
+
+
 def test_trainer_uses_fallback_on_cpu():
     """make_train_step on CPU must keep producing finite losses (the
     fused path is TPU-gated)."""
