@@ -12,6 +12,15 @@ Faithful metric semantics (tests assert both):
 * 'precision' counts ignore pixels as wrong (utils.py:151-159), computed
   per-image then averaged (train.py:52-54) -- at fixed image size this
   equals the overall pixel mean, which is what we accumulate.
+
+Round-trip design: the metric state (19x19 hist + 2 scalars) accumulates
+ON DEVICE in a donated carry, so the host enqueues eval steps without
+ever blocking on a result -- on the tunneled TPU a per-batch readback
+costs a full round trip and serializes the pipeline. The fp32 carry is
+flushed to a host float64 accumulator every ``flush_every`` batches so
+per-cell counts cannot drift for arbitrarily long runs (fp32 integer
+exactness ends at 2^24 per cell; the window bounds how far past it a
+cell can accumulate before moving to float64).
 """
 
 from __future__ import annotations
@@ -26,6 +35,17 @@ import numpy as np
 from ..ops.metrics import confusion_matrix, per_class_iou
 
 
+def _predict(model, variables, images, use_fused_kernel: bool):
+    if use_fused_kernel:
+        from ..ops.pallas import upsample_argmax
+
+        feat, _f16, _f32 = model.apply(variables, images, train=False,
+                                       method=type(model).features)
+        return upsample_argmax(feat, images.shape[1:3])
+    out, _out16, _out32 = model.apply(variables, images, train=False)
+    return jnp.argmax(out, axis=-1).astype(jnp.int32)
+
+
 def make_eval_step(model, num_classes: int, use_fused_kernel: bool = False):
     """Jitted: (variables, images, labels) -> (hist, n_correct, n_pixels).
 
@@ -35,15 +55,7 @@ def make_eval_step(model, num_classes: int, use_fused_kernel: bool = False):
 
     @jax.jit
     def step(variables, images, labels):
-        if use_fused_kernel:
-            from ..ops.pallas import upsample_argmax
-
-            feat, _f16, _f32 = model.apply(variables, images, train=False,
-                                           method=type(model).features)
-            pred = upsample_argmax(feat, images.shape[1:3])
-        else:
-            out, _out16, _out32 = model.apply(variables, images, train=False)
-            pred = jnp.argmax(out, axis=-1).astype(jnp.int32)
+        pred = _predict(model, variables, images, use_fused_kernel)
         labels32 = labels.astype(jnp.int32)
         hist = confusion_matrix(labels32, pred, num_classes)
         correct = jnp.sum((pred == labels32).astype(jnp.float32))
@@ -53,11 +65,36 @@ def make_eval_step(model, num_classes: int, use_fused_kernel: bool = False):
     return step
 
 
+def make_eval_accum_step(model, num_classes: int,
+                         use_fused_kernel: bool = False):
+    """Jitted: (acc, variables, images, labels) -> acc, accumulating the
+    (hist, correct, total) metric state on device. ``acc`` is donated, so
+    the host can enqueue the whole eval without a per-batch readback."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(acc, variables, images, labels):
+        hist, correct, total = acc
+        pred = _predict(model, variables, images, use_fused_kernel)
+        labels32 = labels.astype(jnp.int32)
+        hist = hist + confusion_matrix(labels32, pred, num_classes)
+        correct = correct + jnp.sum((pred == labels32).astype(jnp.float32))
+        total = total + jnp.float32(pred.size)
+        return hist, correct, total
+
+    return step
+
+
+def _zero_acc(num_classes: int):
+    return (jnp.zeros((num_classes, num_classes), jnp.float32),
+            jnp.float32(0.0), jnp.float32(0.0))
+
+
 def evaluate(model, variables, loader, num_classes: int, *, prepare,
              use_fused_kernel: bool = False,
-             print_results: bool = True) -> Tuple[float, float]:
+             print_results: bool = True,
+             flush_every: int = 32) -> Tuple[float, float]:
     """Full-dataset eval; returns (precision, miou) like reference val()."""
-    step = make_eval_step(model, num_classes, use_fused_kernel)
+    step = make_eval_accum_step(model, num_classes, use_fused_kernel)
     hist = np.zeros((num_classes, num_classes), np.float64)
     correct = 0.0
     total = 0.0
@@ -68,11 +105,20 @@ def evaluate(model, variables, loader, num_classes: int, *, prepare,
         for batch in loader:
             yield prepare(batch)
 
+    acc = _zero_acc(num_classes)
+    pending = 0
     for images, labels in device_prefetch(prepared(), depth=2):
-        h, c, t = step(variables, images, labels)
-        hist += np.asarray(h, np.float64)
-        correct += float(c)
-        total += float(t)
+        acc = step(acc, variables, images, labels)
+        pending += 1
+        if pending >= flush_every:
+            hist += np.asarray(acc[0], np.float64)
+            correct += float(acc[1])
+            total += float(acc[2])
+            acc, pending = _zero_acc(num_classes), 0
+    if pending:
+        hist += np.asarray(acc[0], np.float64)
+        correct += float(acc[1])
+        total += float(acc[2])
     precision = correct / max(total, 1.0)
     miou_list = np.asarray(per_class_iou(jnp.asarray(hist)))
     miou = float(np.mean(miou_list))

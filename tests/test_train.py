@@ -228,6 +228,48 @@ def test_evaluate_perfect_prediction(bisenet_setup):
     assert miou == pytest.approx(present / 19, abs=1e-3)
 
 
+def test_evaluate_device_accumulation_matches_per_batch(bisenet_setup):
+    """The donated-carry accumulating evaluator must reproduce the
+    per-batch-readback metrics exactly, across a flush boundary."""
+    from dasemanticsegmentationaml_tpu.train import make_eval_accum_step
+    from dasemanticsegmentationaml_tpu.ops.metrics import per_class_iou
+
+    model, variables = bisenet_setup
+    rng = np.random.default_rng(1)
+    batches = []
+    for _ in range(5):
+        img = rng.standard_normal((2, H, W, 3)).astype(np.float32)
+        lab = np.where(rng.uniform(size=(2, H, W)) < 0.1, 255,
+                       rng.integers(0, 19, (2, H, W))).astype(np.int32)
+        batches.append((img, lab))
+    prepare = lambda b: (jnp.asarray(b[0]), jnp.asarray(b[1]))
+
+    # per-batch reference path
+    step = make_eval_step(model, 19)
+    hist = np.zeros((19, 19), np.float64)
+    correct = total = 0.0
+    for b in batches:
+        h, c, t = step(variables, *prepare(b))
+        hist += np.asarray(h, np.float64)
+        correct += float(c)
+        total += float(t)
+    ref_prec = correct / total
+    ref_miou = float(np.mean(np.asarray(per_class_iou(jnp.asarray(hist)))))
+
+    # accumulating path with a mid-run flush (flush_every=2 over 5 batches)
+    prec, miou = evaluate(model, variables, batches, 19, prepare=prepare,
+                          print_results=False, flush_every=2)
+    assert prec == pytest.approx(ref_prec, abs=1e-9)
+    assert miou == pytest.approx(ref_miou, abs=1e-9)
+
+    # the accum step is callable standalone with a donated carry
+    astep = make_eval_accum_step(model, 19)
+    acc = (jnp.zeros((19, 19), jnp.float32), jnp.float32(0), jnp.float32(0))
+    for b in batches[:2]:
+        acc = astep(acc, variables, *prepare(b))
+    assert float(acc[2]) == 2 * 2 * H * W
+
+
 def test_da_step_all_discriminator_variants():
     """One DA step with each of the three reference discriminators
     (FCD / depthwise / depthwise+BN -- reference train.py:144-152)."""
