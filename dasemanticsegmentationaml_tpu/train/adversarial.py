@@ -42,6 +42,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.losses import bce_with_logits, cross_entropy_ignore
+from ..ops.resize import resize_bilinear_align_corners
 from ..ops.schedules import PolyLR
 from .optim import set_learning_rate
 from .state import TrainState
@@ -59,9 +60,16 @@ def make_da_step(g_model, d_model, g_optimizer, d_optimizer, *,
                  lr_g, lr_d) -> (g_state, d_state, metrics dict).
     """
 
-    def g_apply(params, stats, x):
+    def g_apply_feats(params, stats, x):
+        # Head logits at native stride (1/8, 1/8, 1/16). Only the head D
+        # consumes is bilinearly upsampled to input size (exactly what
+        # BiSeNet.__call__ would do to it); the other two heads' CE fuses
+        # the upsample via ops/pallas/fused_ce.py so their full-res logits
+        # never materialize fwd or bwd (on TPU; the fallback is the
+        # mathematically identical resize-then-CE).
         return g_model.apply({"params": params, "batch_stats": stats},
-                             x, train=True, mutable=["batch_stats"])
+                             x, train=True, mutable=["batch_stats"],
+                             method=type(g_model).features)
 
     def d_apply(params, stats, x):
         return d_model.apply({"params": params, "batch_stats": stats},
@@ -69,15 +77,25 @@ def make_da_step(g_model, d_model, g_optimizer, d_optimizer, *,
 
     def step(g_state: TrainState, d_state: TrainState,
              src_images, src_labels, tgt_images, lr_g, lr_d):
+        from ..ops.pallas.fused_ce import cross_entropy_upsampled
+
+        hw = src_images.shape[1:3]
+
         # ---- phase 1: G segmentation update on source ------------------
         def seg_loss_fn(params):
-            outs, mutated = g_apply(params, g_state.batch_stats, src_images)
-            loss = (cross_entropy_ignore(outs[0], src_labels, ignore_index)
-                    + cross_entropy_ignore(outs[1], src_labels, ignore_index)
-                    + cross_entropy_ignore(outs[2], src_labels, ignore_index))
-            return loss, (mutated["batch_stats"], outs)
+            feats, mutated = g_apply_feats(params, g_state.batch_stats,
+                                           src_images)
+            up_head = resize_bilinear_align_corners(feats[d_head], hw)
+            # same per-head summation order as the reference train.py:214-217
+            head_losses = [
+                cross_entropy_ignore(up_head, src_labels, ignore_index)
+                if i == d_head else
+                cross_entropy_upsampled(f, src_labels, hw, ignore_index)
+                for i, f in enumerate(feats)]
+            loss = head_losses[0] + head_losses[1] + head_losses[2]
+            return loss, (mutated["batch_stats"], up_head)
 
-        (seg_loss, (g_stats1, outs_src)), g_grads = jax.value_and_grad(
+        (seg_loss, (g_stats1, up_src)), g_grads = jax.value_and_grad(
             seg_loss_fn, has_aux=True)(g_state.params)
         g_opt = set_learning_rate(g_state.opt_state, lr_g)
         upd, g_opt = g_optimizer.update(g_grads, g_opt, g_state.params)
@@ -85,16 +103,17 @@ def make_da_step(g_model, d_model, g_optimizer, d_optimizer, *,
 
         # ---- phase 2: G adversarial update on target -------------------
         def adv_loss_fn(params):
-            outs_t, g_mut = g_apply(params, g_stats1, tgt_images)
-            probs_t = jax.nn.softmax(outs_t[d_head].astype(jnp.float32),
-                                     axis=-1)
+            feats_t, g_mut = g_apply_feats(params, g_stats1, tgt_images)
+            up_t = resize_bilinear_align_corners(feats_t[d_head],
+                                                 tgt_images.shape[1:3])
+            probs_t = jax.nn.softmax(up_t.astype(jnp.float32), axis=-1)
             d_out, d_mut = d_apply(d_state.params, d_state.batch_stats,
                                    probs_t)
             loss = bce_with_logits(d_out, SOURCE_LABEL) * lambda_adv
             return loss, (g_mut["batch_stats"], d_mut["batch_stats"],
-                          outs_t)
+                          up_t)
 
-        (loss_d1, (g_stats2, d_stats1, outs_tgt)), g_grads2 = \
+        (loss_d1, (g_stats2, d_stats1, up_tgt)), g_grads2 = \
             jax.value_and_grad(adv_loss_fn, has_aux=True)(g_params1)
         upd2, g_opt = g_optimizer.update(g_grads2, g_opt, g_params1)
         g_params2 = jax.tree.map(lambda p, u: p + u, g_params1, upd2)
@@ -104,9 +123,9 @@ def make_da_step(g_model, d_model, g_optimizer, d_optimizer, *,
 
         # Detached softmax maps (reference train.py:243-244).
         probs_src = jax.lax.stop_gradient(
-            jax.nn.softmax(outs_src[d_head].astype(jnp.float32), axis=-1))
+            jax.nn.softmax(up_src.astype(jnp.float32), axis=-1))
         probs_tgt = jax.lax.stop_gradient(
-            jax.nn.softmax(outs_tgt[d_head].astype(jnp.float32), axis=-1))
+            jax.nn.softmax(up_tgt.astype(jnp.float32), axis=-1))
 
         # ---- phase 3: D update on source (label 0) ---------------------
         def d_src_loss_fn(params):

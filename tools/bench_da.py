@@ -1,0 +1,42 @@
+"""Adversarial-DA step throughput on the real chip (secondary bench).
+
+Measures the full 4-phase DA step (reference train.py:192-262) at the
+reference's 1024x512 resolution.  The loss readback serializes the chain
+(see bench.py's protocol notes on async-dispatch runtimes).
+
+Measured on v5e (batch 8+8): 113.4 img/s unfused -> 115.6 img/s with the
+fused upsample+CE aux heads (118.9 at batch 16+16).
+"""
+import time, numpy as np, jax, jax.numpy as jnp
+from dasemanticsegmentationaml_tpu.models import BiSeNet, build_discriminator
+from dasemanticsegmentationaml_tpu.models.bisenet import (
+    init_bisenet_variables, unused_param_mask)
+from dasemanticsegmentationaml_tpu.train import create_train_state
+from dasemanticsegmentationaml_tpu.train.adversarial import make_da_step
+from dasemanticsegmentationaml_tpu.train.optim import make_optimizer
+
+H, W, B, ITERS = 512, 1024, 8, 8
+g_model = BiSeNet(n_classes=19, dtype=jnp.bfloat16)
+g_vars = init_bisenet_variables(g_model, jax.random.PRNGKey(0), (1, H, W, 3))
+d_model = build_discriminator(19, dtype=jnp.bfloat16)
+d_vars = d_model.init(jax.random.PRNGKey(1), jnp.zeros((1, H, W, 19)))
+g_opt = make_optimizer("sgd", 0.01, momentum=0.9, weight_decay=5e-4,
+                       mask=unused_param_mask(g_vars["params"]))
+d_opt = make_optimizer("adam", 1e-3, betas=(0.9, 0.99))
+g_state = create_train_state(g_vars, g_opt)
+d_state = create_train_state(d_vars, d_opt)
+rng = np.random.default_rng(0)
+src = jnp.asarray(rng.standard_normal((B, H, W, 3)), jnp.bfloat16)
+lab = jnp.asarray(rng.integers(0, 19, (B, H, W)), jnp.int32)
+tgt = jnp.asarray(rng.standard_normal((B, H, W, 3)), jnp.bfloat16)
+step = make_da_step(g_model, d_model, g_opt, d_opt, lambda_adv=1e-3)
+t0 = time.time()
+g_state, d_state, m = step(g_state, d_state, src, lab, tgt, 0.01, 1e-3)
+float(m["loss_G"])
+print(f"compile+first: {time.time()-t0:.0f}s")
+t0 = time.perf_counter()
+for _ in range(ITERS):
+    g_state, d_state, m = step(g_state, d_state, src, lab, tgt, 0.01, 1e-3)
+float(m["loss_G"])  # readback serializes
+dt = time.perf_counter() - t0
+print(f"DA step: {B*ITERS/dt:.1f} source img/s (batch {B}+{B})")
