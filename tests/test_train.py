@@ -205,6 +205,34 @@ def test_da_step_out32_head(bisenet_setup, rng):
     assert np.isfinite(float(m["loss_G"]))
 
 
+def test_da_seg_loss_matches_unfused_call_path(bisenet_setup, rng):
+    """The DA step computes its seg loss from native-stride features with
+    the fused upsample+CE (train/adversarial.py seg_loss_fn); that must
+    equal the reference formulation CE(model.__call__ upsampled heads)
+    summed (reference train.py:214-217)."""
+    from dasemanticsegmentationaml_tpu.ops.losses import cross_entropy_ignore
+
+    model, variables = bisenet_setup
+    d_model = build_discriminator(19)
+    d_vars = d_model.init(jax.random.PRNGKey(1), jnp.zeros((1, H, W, 19)))
+    g_opt = make_optimizer("sgd", 0.01, momentum=0.9)
+    d_opt = make_optimizer("adam", 1e-3, betas=(0.9, 0.99))
+    g_state = create_train_state(variables, g_opt)
+    d_state = create_train_state(d_vars, d_opt)
+    src_images, src_labels = _fake_batch(rng)
+    tgt_images, _ = _fake_batch(rng)
+
+    step = make_da_step(model, d_model, g_opt, d_opt, lambda_adv=1e-3,
+                        donate=False)
+    _g1, _d1, m = step(g_state, d_state, src_images, src_labels, tgt_images,
+                       0.01, 1e-3)
+
+    outs, _ = model.apply(variables, src_images, train=True,
+                          mutable=["batch_stats"])
+    want = sum(cross_entropy_ignore(o, src_labels, 255) for o in outs)
+    assert float(m["loss"]) == pytest.approx(float(want), rel=1e-5)
+
+
 # ------------------------------------------------------------- evaluation
 def test_evaluate_perfect_prediction(bisenet_setup):
     """A loader whose labels equal the model's own argmax must give
