@@ -24,7 +24,20 @@ Design notes from measured iterations on v5e:
    dot keeps everything lane-aligned (class j is the static lane slice
    [j*w, (j+1)*w) of R) with a running compare/select;
  * precision=HIGHEST keeps the result EXACT: fp32 taps, and every
-   non-tap term of the contraction contributes an exact +0.0.
+   non-tap term of the contraction contributes an exact +0.0. But fp32
+   HIGHEST dots cost 6 MXU passes, and Mosaic supports no middle tier
+   (Precision.HIGH raises NotImplementedError in its dot lowering).
+ * When the logits come from a bf16 model they are bf16-exact, so a
+   SPLIT scheme reaches ~16-bit-exact interpolation in 1-pass bf16
+   dots: taps decomposed as bf16 hi+lo pairs; stage 1 = mr_hi@x +
+   mr_lo@x (x cast bf16, exact); stage 2 per class = r_hi@mc_hi +
+   r_lo@mc_hi + r_hi@mc_lo (r split bf16 hi+lo, lo x lo dropped).
+   Measured v5e, 64x128x19 -> 512x1024, bs 128 (tools/
+   probe_upargmax_precision.py): HIGHEST 102.7 us/img; SPLIT 55.8
+   us/img with 4.7e-6 argmax mismatch (sub-16-bit ties only);
+   1-pass DEFAULT 33.0 us/img but 2.6e-3 mismatch (8-bit taps).
+   Policy: bf16 inputs take SPLIT, fp32 inputs keep the exact
+   HIGHEST path (checkpoint-parity evals).
 
 HBM traffic per image: read h*w*C*4 + write H*W*4 (~2.6 MB at 1024x512)
 vs ~80 MB unfused.
@@ -78,6 +91,47 @@ def _tap_matrix(in_size: int, out_size: int, transpose: bool) -> np.ndarray:
     return np.ascontiguousarray(m.T) if transpose else m
 
 
+@functools.lru_cache(maxsize=None)
+def _tap_matrix_split(in_size: int, out_size: int, transpose: bool):
+    """Tap matrix as a (hi, lo) pair of bf16 arrays with hi+lo ~16-bit
+    exact (lo = bf16 residual of the fp32 taps after bf16 rounding)."""
+    import ml_dtypes  # ships with jax; keeps this pure numpy (jit-safe)
+
+    m = _tap_matrix(in_size, out_size, transpose)
+    hi = m.astype(ml_dtypes.bfloat16)
+    lo = (m - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return hi, lo
+
+
+def _make_split_kernel(c: int, row_blk: int):
+    f32 = jnp.float32
+
+    def _kernel(x_ref, mrh_ref, mrl_ref, mch_ref, mcl_ref, out_ref):
+        # x holds bf16-exact values (cast from a bf16 model's logits).
+        xb = x_ref[0].astype(jnp.bfloat16)
+        rows = (jnp.dot(mrh_ref[:, :], xb, preferred_element_type=f32)
+                + jnp.dot(mrl_ref[:, :], xb, preferred_element_type=f32))
+        r_hi = rows.astype(jnp.bfloat16)
+        r_lo = (rows - r_hi.astype(f32)).astype(jnp.bfloat16)
+        w = mch_ref.shape[0]
+        out_w = mch_ref.shape[1]
+        best = jnp.full((row_blk, out_w), -jnp.inf, f32)
+        idx = jnp.zeros((row_blk, out_w), jnp.int32)
+        for j in range(c):  # static unroll over classes
+            sl = slice(j * w, (j + 1) * w)
+            u = (jnp.dot(r_hi[:, sl], mch_ref[:, :],
+                         preferred_element_type=f32)
+                 + jnp.dot(r_lo[:, sl], mch_ref[:, :],
+                           preferred_element_type=f32)
+                 + jnp.dot(r_hi[:, sl], mcl_ref[:, :],
+                           preferred_element_type=f32))
+            idx = jnp.where(u > best, j, idx)
+            best = jnp.maximum(u, best)
+        out_ref[0] = idx
+
+    return _kernel
+
+
 def _make_kernel(c: int, row_blk: int, precision):
     def _kernel(x_ref, mr_ref, mc_ref, out_ref):
         # x_ref: (1, h, c*w); mr_ref: (row_blk, h); mc_ref: (w, W).
@@ -106,51 +160,72 @@ def _make_kernel(c: int, row_blk: int, precision):
 
 def _pallas_call(logits_t: jax.Array, out_hw: Tuple[int, int],
                  interpret: bool = False,
-                 precision=jax.lax.Precision.HIGHEST) -> jax.Array:
-    """logits_t: (B, h, C, w) fp32."""
+                 precision=jax.lax.Precision.HIGHEST,
+                 split: bool = False) -> jax.Array:
+    """logits_t: (B, h, C, w) fp32.
+
+    split=True uses the bf16 hi+lo tap decomposition (see module
+    docstring) -- only valid when the fp32 values are bf16-exact.
+    """
     from jax.experimental.pallas import tpu as pltpu
 
     b, h, c, w = logits_t.shape
     out_h, out_w = out_hw
-    mr = jnp.asarray(_tap_matrix(h, out_h, transpose=True))   # (out_h, h)
-    mc = jnp.asarray(_tap_matrix(w, out_w, transpose=False))  # (w, out_w)
     row_blk = _row_block(out_h)
     x2 = logits_t.reshape(b, h, c * w)
 
+    def spec(shape, index_map):
+        return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
+
+    x_spec = spec((1, h, c * w), lambda bi, oi: (bi, 0, 0))
+    mr_spec = spec((row_blk, h), lambda bi, oi: (oi, 0))
+    mc_spec = spec((w, out_w), lambda bi, oi: (0, 0))
+    out_spec = spec((1, row_blk, out_w), lambda bi, oi: (bi, oi, 0))
+
+    if split:
+        mrh, mrl = _tap_matrix_split(h, out_h, transpose=True)
+        mch, mcl = _tap_matrix_split(w, out_w, transpose=False)
+        operands = (x2, jnp.asarray(mrh), jnp.asarray(mrl),
+                    jnp.asarray(mch), jnp.asarray(mcl))
+        in_specs = [x_spec, mr_spec, mr_spec, mc_spec, mc_spec]
+        kernel = _make_split_kernel(c, row_blk)
+        n_passes = 3
+    else:
+        operands = (x2, jnp.asarray(_tap_matrix(h, out_h, transpose=True)),
+                    jnp.asarray(_tap_matrix(w, out_w, transpose=False)))
+        in_specs = [x_spec, mr_spec, mc_spec]
+        kernel = _make_kernel(c, row_blk, precision)
+        n_passes = 6 if precision == jax.lax.Precision.HIGHEST else 1
+
     grid_spec = pl.GridSpec(
         grid=(b, out_h // row_blk),
-        in_specs=[
-            pl.BlockSpec((1, h, c * w), lambda bi, oi: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((row_blk, h), lambda bi, oi: (oi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((w, out_w), lambda bi, oi: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, row_blk, out_w),
-                               lambda bi, oi: (bi, oi, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=in_specs,
+        out_specs=out_spec,
     )
-
     cost = pl.CostEstimate(
-        flops=2 * b * out_h * c * w * (h // 8 + out_w),
+        flops=n_passes * 2 * b * out_h * c * w * (h // 8 + out_w),
         bytes_accessed=b * (h * c * w * 4 + out_h * out_w * 4)
         + (out_h * h + w * out_w) * 4,
         transcendentals=0,
     )
     return pl.pallas_call(
-        _make_kernel(c, row_blk, precision),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((b, out_h, out_w), jnp.int32),
         grid_spec=grid_spec,
         cost_estimate=cost,
         interpret=interpret,
-    )(x2, mr, mc)
+    )(*operands)
 
 
 def upsample_argmax(logits: jax.Array, out_hw: Tuple[int, int],
                     force: str = "auto") -> jax.Array:
     """(B, h, w, C) logits -> (B, H, W) int32 argmax of the align_corners
-    bilinear upsample. force: 'auto' | 'pallas' | 'xla' | 'interpret'.
+    bilinear upsample. force: 'auto' | 'pallas' | 'split' | 'xla' |
+    'interpret'.
+
+    bf16 logits take the SPLIT kernel (1-pass bf16 dots, ~16-bit-exact
+    taps, 1.84x faster -- see module docstring); fp32 logits keep the
+    exact fp32-HIGHEST kernel (checkpoint-parity evals).
     """
     if force == "xla":
         return _xla_reference(logits, out_hw)
@@ -159,6 +234,9 @@ def upsample_argmax(logits: jax.Array, out_hw: Tuple[int, int],
         return _xla_reference(logits, out_hw)
     if _row_block(out_hw[0]) == 0:  # Mosaic sublane granule
         return _xla_reference(logits, out_hw)
-    interpret = force == "interpret"
+    split = force == "split" or (
+        force in ("auto", "pallas", "interpret")
+        and logits.dtype == jnp.bfloat16)
+    interpret = force == "interpret" or (force == "split" and not on_tpu)
     logits_t = jnp.transpose(logits.astype(jnp.float32), (0, 1, 3, 2))
-    return _pallas_call(logits_t, out_hw, interpret=interpret)
+    return _pallas_call(logits_t, out_hw, interpret=interpret, split=split)

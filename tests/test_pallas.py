@@ -49,6 +49,38 @@ def test_upsample_argmax_exact_on_separated_logits():
     np.testing.assert_array_equal(ref, got)
 
 
+def test_upsample_argmax_split_matches_xla():
+    """bf16 logits route to the SPLIT kernel (~16-bit-exact taps);
+    mismatches vs the fp32 reference only on near-ties."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 8, 16, 19)) * 4, jnp.bfloat16)
+    ref = np.asarray(_xla_reference(x.astype(jnp.float32), (32, 64)))
+    got = np.asarray(upsample_argmax(x, (32, 64), force="interpret"))
+    assert (ref != got).mean() < 1e-3
+
+
+def test_upsample_argmax_split_near_exact_on_separated_logits():
+    """SPLIT is ~16-bit-exact: on integer logits only exact-tie pixels
+    may flip (the fp32 HIGHEST path preserves ties bitwise; the bf16
+    hi+lo taps perturb them by ~2^-17)."""
+    rng = np.random.default_rng(4)
+    x = np.round(rng.standard_normal((1, 8, 16, 19)) * 4).astype(np.float32)
+    xj = jnp.asarray(x)  # fp32 values, all bf16-exact (small integers)
+    ref = np.asarray(_xla_reference(xj, (32, 64)))
+    got = np.asarray(upsample_argmax(xj, (32, 64), force="split"))
+    assert (ref != got).mean() < 1e-3
+
+
+def test_upsample_argmax_fp32_keeps_exact_path():
+    """fp32 logits must stay on the exact HIGHEST kernel under 'auto'
+    policy semantics (here: interpret mode picks split only for bf16)."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((1, 8, 16, 19)).astype(np.float32))
+    ref = np.asarray(_xla_reference(x, (32, 64)))
+    got = np.asarray(upsample_argmax(x, (32, 64), force="interpret"))
+    assert (ref != got).mean() < 1e-3
+
+
 def test_upsample_argmax_identity_size():
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.standard_normal((1, 8, 16, 19)).astype(np.float32))
