@@ -71,6 +71,35 @@ def test_upsample_argmax_split_near_exact_on_separated_logits():
     assert (ref != got).mean() < 1e-3
 
 
+def test_upsample_argmax_dtype_policy():
+    """'auto'/'pallas'/'interpret' route bf16 logits to the SPLIT kernel
+    and keep fp32 logits on the exact HIGHEST kernel."""
+    import importlib
+
+    # the package __init__ shadows the submodule name with the function
+    ua = importlib.import_module(
+        "dasemanticsegmentationaml_tpu.ops.pallas.upsample_argmax")
+    calls = []
+    orig = ua._pallas_call
+
+    def spy(logits_t, out_hw, interpret=False, precision=None, split=False):
+        calls.append(split)
+        return orig(logits_t, out_hw, interpret=True, split=split) \
+            if split or interpret else orig(
+                logits_t, out_hw, interpret=True)
+
+    ua._pallas_call, saved = spy, orig
+    try:
+        xb = jnp.zeros((1, 8, 16, 19), jnp.bfloat16)
+        xf = jnp.zeros((1, 8, 16, 19), jnp.float32)
+        ua.upsample_argmax(xb, (32, 64), force="interpret")
+        ua.upsample_argmax(xf, (32, 64), force="interpret")
+        ua.upsample_argmax(xf, (32, 64), force="split")
+    finally:
+        ua._pallas_call = saved
+    assert calls == [True, False, True]
+
+
 def test_upsample_argmax_fp32_keeps_exact_path():
     """fp32 logits must stay on the exact HIGHEST kernel under 'auto'
     policy semantics (here: interpret mode picks split only for bf16)."""
