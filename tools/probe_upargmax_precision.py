@@ -25,86 +25,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from jax.experimental import pallas as pl
-
 from dasemanticsegmentationaml_tpu.ops.pallas.upsample_argmax import (
     _pallas_call,
-    _row_block,
-    _tap_matrix,
 )
 
 B, H, W, C = 128, 64, 128, 19
 OUT = (512, 1024)
 CHAIN, REPS = 32, 3
-
-
-def _split(m: np.ndarray):
-    hi = m.astype(jnp.bfloat16)
-    lo = (m - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
-    return jnp.asarray(hi), jnp.asarray(lo)
-
-
-def _make_split_kernel(c: int, row_blk: int):
-    f32 = jnp.float32
-
-    def _kernel(x_ref, mrh_ref, mrl_ref, mch_ref, mcl_ref, out_ref):
-        xb = x_ref[0].astype(jnp.bfloat16)  # exact for bf16-sourced logits
-        rows = (jnp.dot(mrh_ref[:, :], xb, preferred_element_type=f32)
-                + jnp.dot(mrl_ref[:, :], xb, preferred_element_type=f32))
-        r_hi = rows.astype(jnp.bfloat16)
-        r_lo = (rows - r_hi.astype(f32)).astype(jnp.bfloat16)
-        w = mch_ref.shape[0]
-        out_w = mch_ref.shape[1]
-        best = jnp.full((row_blk, out_w), -jnp.inf, f32)
-        idx = jnp.zeros((row_blk, out_w), jnp.int32)
-        for j in range(c):
-            sl = slice(j * w, (j + 1) * w)
-            u = (jnp.dot(r_hi[:, sl], mch_ref[:, :],
-                         preferred_element_type=f32)
-                 + jnp.dot(r_lo[:, sl], mch_ref[:, :],
-                           preferred_element_type=f32)
-                 + jnp.dot(r_hi[:, sl], mcl_ref[:, :],
-                           preferred_element_type=f32))
-            idx = jnp.where(u > best, j, idx)
-            best = jnp.maximum(u, best)
-        out_ref[0] = idx
-
-    return _kernel
-
-
-def _split_call(logits_t: jax.Array, out_hw):
-    from jax.experimental.pallas import tpu as pltpu
-
-    b, h, c, w = logits_t.shape
-    out_h, out_w = out_hw
-    mrh, mrl = _split(_tap_matrix(h, out_h, transpose=True))
-    mch, mcl = _split(_tap_matrix(w, out_w, transpose=False))
-    row_blk = _row_block(out_h)
-    x2 = logits_t.reshape(b, h, c * w)
-
-    grid_spec = pl.GridSpec(
-        grid=(b, out_h // row_blk),
-        in_specs=[
-            pl.BlockSpec((1, h, c * w), lambda bi, oi: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((row_blk, h), lambda bi, oi: (oi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((row_blk, h), lambda bi, oi: (oi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((w, out_w), lambda bi, oi: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((w, out_w), lambda bi, oi: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, row_blk, out_w),
-                               lambda bi, oi: (bi, oi, 0),
-                               memory_space=pltpu.VMEM),
-    )
-    return pl.pallas_call(
-        _make_split_kernel(c, row_blk),
-        out_shape=jax.ShapeDtypeStruct((b, out_h, out_w), jnp.int32),
-        grid_spec=grid_spec,
-    )(x2, mrh, mrl, mch, mcl)
 
 
 def main():
@@ -119,7 +46,8 @@ def main():
             _pallas_call, precision=jax.lax.Precision.HIGHEST),
         "DEFAULT": functools.partial(
             _pallas_call, precision=jax.lax.Precision.DEFAULT),
-        "SPLIT": _split_call,
+        # production split path (upsample_argmax routes bf16 inputs here)
+        "SPLIT": functools.partial(_pallas_call, split=True),
     }
     ref = None
     for name, call in variants.items():
