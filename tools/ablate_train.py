@@ -62,7 +62,10 @@ def main():
         x = jnp.asarray(rng.standard_normal((bs, H, W, 3)), jnp.bfloat16)
         y = jnp.asarray(rng.integers(0, 19, (bs, H, W)), jnp.int32)
 
-        state = create_train_state(v, opt)
+        # deep-copy: the production step donates its state, and the state
+        # aliases `v`'s buffers -- donation would delete them for the
+        # next batch size otherwise
+        state = create_train_state(jax.tree.map(jnp.copy, v), opt)
         step = make_train_step(model, opt)
 
         dt_f = timed(fwd, v["params"], v["batch_stats"], x, y)
