@@ -62,14 +62,16 @@ from ..resize import bilinear_gather_plan, resize_bilinear_align_corners
 MAX_ROW_BLK = 64  # output rows per grid step (multiple of the 8-sublane granule)
 
 
-def _row_block(out_h: int) -> int:
-    """Largest multiple of 8 dividing out_h, capped at MAX_ROW_BLK (0 if none).
+def _row_block(out_h: int, max_row_blk: int = MAX_ROW_BLK) -> int:
+    """Largest multiple of 8 dividing out_h, capped at max_row_blk (0 if none).
 
-    Bigger blocks amortize per-grid-step overhead (measured: 64 beats 8 by
-    ~10%); 8 is the Mosaic int32 sublane granule floor.
+    Bigger blocks amortize per-grid-step overhead and MXU pipeline fill
+    (each per-class dot has M=row_blk; at M=64 the ~2x-M fill dominates
+    small dots). Measured: 64 beats 8 by ~10% on the HIGHEST kernel; see
+    tools/probe_upargmax_precision.py for the SPLIT-kernel block sweep.
     """
     blk = 0
-    for cand in range(8, MAX_ROW_BLK + 1, 8):
+    for cand in range(8, max_row_blk + 1, 8):
         if out_h % cand == 0:
             blk = cand
     return blk
@@ -161,7 +163,8 @@ def _make_kernel(c: int, row_blk: int, precision):
 def _pallas_call(logits_t: jax.Array, out_hw: Tuple[int, int],
                  interpret: bool = False,
                  precision=jax.lax.Precision.HIGHEST,
-                 split: bool = False) -> jax.Array:
+                 split: bool = False,
+                 max_row_blk: int = MAX_ROW_BLK) -> jax.Array:
     """logits_t: (B, h, C, w) fp32.
 
     split=True uses the bf16 hi+lo tap decomposition (see module
@@ -171,7 +174,7 @@ def _pallas_call(logits_t: jax.Array, out_hw: Tuple[int, int],
 
     b, h, c, w = logits_t.shape
     out_h, out_w = out_hw
-    row_blk = _row_block(out_h)
+    row_blk = _row_block(out_h, max_row_blk)
     x2 = logits_t.reshape(b, h, c * w)
 
     def spec(shape, index_map):
