@@ -220,6 +220,26 @@ def _pallas_call(logits_t: jax.Array, out_hw: Tuple[int, int],
     )(*operands)
 
 
+VMEM_BUDGET = 12 * 1024 * 1024  # conservative vs the 16 MB scoped limit
+
+
+def _vmem_estimate(h: int, w: int, c: int, out_h: int, out_w: int,
+                   row_blk: int) -> int:
+    """Upper-bound bytes of per-grid-step VMEM (blocks + intermediates).
+
+    A compile-side scoped-vmem OOM does not just fail: it wedges this
+    stack's remote compile service for hours (observed twice, e.g.
+    row_blk=512 at 512x1024x19 -> 19.6 MB > 16 MB). Shapes over budget
+    fall back to XLA instead of ever reaching Mosaic.
+    """
+    x_blk = h * c * w * 4
+    taps = (row_blk * h + w * out_w) * 4 * 2       # fp32 or 2x bf16 pairs
+    out_blk = row_blk * out_w * 4
+    rows = row_blk * c * w * (4 + 2 + 2)           # fp32 + bf16 hi/lo
+    running = row_blk * out_w * 4 * 3              # u, best, idx
+    return x_blk + taps + out_blk + rows + running
+
+
 def upsample_argmax(logits: jax.Array, out_hw: Tuple[int, int],
                     force: str = "auto") -> jax.Array:
     """(B, h, w, C) logits -> (B, H, W) int32 argmax of the align_corners
@@ -235,7 +255,12 @@ def upsample_argmax(logits: jax.Array, out_hw: Tuple[int, int],
     on_tpu = jax.default_backend() == "tpu"
     if force == "auto" and not on_tpu:
         return _xla_reference(logits, out_hw)
-    if _row_block(out_hw[0]) == 0:  # Mosaic sublane granule
+    row_blk = _row_block(out_hw[0])
+    if row_blk == 0:  # Mosaic sublane granule
+        return _xla_reference(logits, out_hw)
+    b, h, w, c = logits.shape
+    if _vmem_estimate(h, w, c, out_hw[0], out_hw[1],
+                      row_blk) > VMEM_BUDGET:
         return _xla_reference(logits, out_hw)
     split = force == "split" or (
         force in ("auto", "pallas", "interpret")

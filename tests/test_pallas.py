@@ -110,6 +110,27 @@ def test_upsample_argmax_fp32_keeps_exact_path():
     assert (ref != got).mean() < 1e-3
 
 
+def test_upsample_argmax_vmem_guard():
+    """Shapes whose per-step VMEM exceeds the budget must fall back to
+    XLA (a compile-side scoped-vmem OOM wedges the compile service)."""
+    import importlib
+
+    ua = importlib.import_module(
+        "dasemanticsegmentationaml_tpu.ops.pallas.upsample_argmax")
+    # production eval shape stays comfortably under budget
+    assert ua._vmem_estimate(64, 128, 19, 512, 1024, 64) < ua.VMEM_BUDGET
+    # the observed-OOM config (row_blk 512, 19.6 MB measured) is over
+    assert ua._vmem_estimate(64, 128, 19, 512, 1024, 512) > 16 * 2**20
+    # a pathologically wide class count routes to XLA without error
+    # (on CPU the un-guarded pallas path would raise "Only interpret
+    # mode is supported", so reaching XLA proves the guard fired)
+    assert ua._vmem_estimate(8, 128, 1024, 32, 64,
+                             ua._row_block(32)) > ua.VMEM_BUDGET
+    x = jnp.zeros((1, 8, 128, 1024), jnp.float32)
+    out = ua.upsample_argmax(x, (32, 64), force="pallas")
+    assert out.shape == (1, 32, 64)
+
+
 def test_upsample_argmax_identity_size():
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.standard_normal((1, 8, 16, 19)).astype(np.float32))
