@@ -243,12 +243,15 @@ def _vmem_estimate(h: int, w: int, c: int, out_h: int, out_w: int,
 def upsample_argmax(logits: jax.Array, out_hw: Tuple[int, int],
                     force: str = "auto") -> jax.Array:
     """(B, h, w, C) logits -> (B, H, W) int32 argmax of the align_corners
-    bilinear upsample. force: 'auto' | 'pallas' | 'split' | 'xla' |
-    'interpret'.
+    bilinear upsample. force: 'auto' | 'pallas' | 'split' | 'fast' |
+    'xla' | 'interpret'.
 
     bf16 logits take the SPLIT kernel (1-pass bf16 dots, ~16-bit-exact
     taps, 1.84x faster -- see module docstring); fp32 logits keep the
-    exact fp32-HIGHEST kernel (checkpoint-parity evals).
+    exact fp32-HIGHEST kernel (checkpoint-parity evals). 'fast' opts
+    into the single-pass DEFAULT kernel (measured 32 vs 56 us/img but
+    8-bit taps: ~2.6e-3 of pixels -- boundary near-ties -- flip vs the
+    fp32 reference; mIoU impact is well under the 0.5 parity bar).
     """
     if force == "xla":
         return _xla_reference(logits, out_hw)
@@ -265,6 +268,10 @@ def upsample_argmax(logits: jax.Array, out_hw: Tuple[int, int],
     split = force == "split" or (
         force in ("auto", "pallas", "interpret")
         and logits.dtype == jnp.bfloat16)
-    interpret = force == "interpret" or (force == "split" and not on_tpu)
+    interpret = force == "interpret" or (
+        force in ("split", "fast") and not on_tpu)
     logits_t = jnp.transpose(logits.astype(jnp.float32), (0, 1, 3, 2))
+    if force == "fast":
+        return _pallas_call(logits_t, out_hw, interpret=interpret,
+                            precision=jax.lax.Precision.DEFAULT)
     return _pallas_call(logits_t, out_hw, interpret=interpret, split=split)

@@ -110,6 +110,16 @@ def test_upsample_argmax_fp32_keeps_exact_path():
     assert (ref != got).mean() < 1e-3
 
 
+def test_upsample_argmax_fast_mode():
+    """force='fast' (1-pass DEFAULT kernel) stays within the documented
+    mismatch envelope vs the fp32 reference."""
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((2, 8, 16, 19)) * 4, jnp.bfloat16)
+    ref = np.asarray(_xla_reference(x.astype(jnp.float32), (32, 64)))
+    got = np.asarray(upsample_argmax(x, (32, 64), force="fast"))
+    assert (ref != got).mean() < 2e-2
+
+
 def test_upsample_argmax_vmem_guard():
     """Shapes whose per-step VMEM exceeds the budget must fall back to
     XLA (a compile-side scoped-vmem OOM wedges the compile service)."""
