@@ -74,7 +74,7 @@ def bench_forward(batch_size: int, height: int = 512, width: int = 1024,
     return batch_size * CHAIN / best_dt
 
 
-def bench_train_step(batch_size: int = 64, height: int = 512,
+def bench_train_step(batch_size: int = 96, height: int = 512,
                      width: int = 1024, iters: int = 8) -> float:
     """Supervised train-step throughput (secondary metric)."""
     from dasemanticsegmentationaml_tpu.models import BiSeNet

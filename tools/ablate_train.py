@@ -7,6 +7,7 @@ Times three programs at the given batch size:
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/ablate_train.py [bs...]
 """
+import os
 import sys
 import time
 
@@ -68,8 +69,10 @@ def main():
         state = create_train_state(jax.tree.map(jnp.copy, v), opt)
         step = make_train_step(model, opt)
 
-        dt_f = timed(fwd, v["params"], v["batch_stats"], x, y)
-        dt_g = timed(grad, v["params"], v["batch_stats"], x, y)
+        step_only = os.environ.get("STEP_ONLY") == "1"
+        if not step_only:
+            dt_f = timed(fwd, v["params"], v["batch_stats"], x, y)
+            dt_g = timed(grad, v["params"], v["batch_stats"], x, y)
 
         def run_step(s, x, y):
             s2, loss = step(s, x, y, 0.01)
@@ -85,8 +88,12 @@ def main():
         dt_s = time.perf_counter() - t0
 
         n = bs * ITERS
-        print(f"bs={bs}: fwd={n/dt_f:7.1f} img/s  grad={n/dt_g:7.1f} img/s"
-              f"  step={n/dt_s:7.1f} img/s", flush=True)
+        if step_only:
+            print(f"bs={bs}: step={n/dt_s:7.1f} img/s", flush=True)
+        else:
+            print(f"bs={bs}: fwd={n/dt_f:7.1f} img/s"
+                  f"  grad={n/dt_g:7.1f} img/s"
+                  f"  step={n/dt_s:7.1f} img/s", flush=True)
 
 
 if __name__ == "__main__":
