@@ -74,7 +74,7 @@ def bench_forward(batch_size: int, height: int = 512, width: int = 1024,
     return batch_size * CHAIN / best_dt
 
 
-def bench_train_step(batch_size: int = 96, height: int = 512,
+def bench_train_step(batch_size: int = 128, height: int = 512,
                      width: int = 1024, iters: int = 8) -> float:
     """Supervised train-step throughput (secondary metric)."""
     from dasemanticsegmentationaml_tpu.models import BiSeNet
@@ -107,10 +107,11 @@ def bench_train_step(batch_size: int = 96, height: int = 512,
 
 def main():
     backend = jax.default_backend()
-    # batch 128 measured best on v5e (64/128 sweep; 16/32 were ~40% lower
-    # and 256 regressed); keep the sweep small so the whole bench stays
-    # within a ~8 min budget despite ~2 min remote compiles per program.
-    batches = [64, 128] if backend == "tpu" else [2]
+    # batch 128 measured best on v5e: 16/32 ~40% lower, 64 = 1944,
+    # 128 = 2664, 160 = 1981 (HBM cliff right after 128), 256 worse
+    # still. Single point keeps the bench well inside the driver's
+    # budget despite ~2 min remote compiles per program.
+    batches = [128] if backend == "tpu" else [2]
     best, best_bs = 0.0, batches[0]
     for bs in batches:
         try:
