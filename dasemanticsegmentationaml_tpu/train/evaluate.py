@@ -50,7 +50,8 @@ def make_eval_step(model, num_classes: int, use_fused_kernel: bool = False):
     """Jitted: (variables, images, labels) -> (hist, n_correct, n_pixels).
 
     use_fused_kernel: route the upsample+argmax through the Pallas kernel
-    (ops/pallas) -- numerically identical, bandwidth-optimal on TPU.
+    (ops/pallas) -- bandwidth-optimal on TPU; bit-exact vs XLA for fp32
+    logits, ~16-bit-exact for bf16 (see upsample_argmax's docstring).
     """
 
     @jax.jit
