@@ -105,6 +105,49 @@ def bench_train_step(batch_size: int = 128, height: int = 512,
     return batch_size * iters / (time.perf_counter() - t0)
 
 
+def bench_da_step(batch_size: int = 16, height: int = 512,
+                  width: int = 1024, iters: int = 8) -> float:
+    """Adversarial-DA 4-phase step throughput (tertiary metric).
+
+    Measured on v5e: 115.6 source img/s at batch 8+8, 118.9 at 16+16
+    (tools/bench_da.py protocol)."""
+    from dasemanticsegmentationaml_tpu.models import (BiSeNet,
+                                                      build_discriminator)
+    from dasemanticsegmentationaml_tpu.models.bisenet import (
+        init_bisenet_variables, unused_param_mask)
+    from dasemanticsegmentationaml_tpu.train import (create_train_state,
+                                                     make_da_step)
+    from dasemanticsegmentationaml_tpu.train.optim import make_optimizer
+
+    g_model = BiSeNet(n_classes=19, dtype=jnp.bfloat16)
+    g_vars = init_bisenet_variables(g_model, jax.random.PRNGKey(0),
+                                    (1, height, width, 3))
+    d_model = build_discriminator(19, dtype=jnp.bfloat16)
+    d_vars = d_model.init(jax.random.PRNGKey(1),
+                          jnp.zeros((1, height, width, 19)))
+    g_opt = make_optimizer("sgd", 0.01, momentum=0.9, weight_decay=5e-4,
+                           mask=unused_param_mask(g_vars["params"]))
+    d_opt = make_optimizer("adam", 1e-3, betas=(0.9, 0.99))
+    g_state = create_train_state(g_vars, g_opt)
+    d_state = create_train_state(d_vars, d_opt)
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.standard_normal((batch_size, height, width, 3)),
+                      jnp.bfloat16)
+    lab = jnp.asarray(rng.integers(0, 19, (batch_size, height, width)),
+                      jnp.int32)
+    tgt = jnp.asarray(rng.standard_normal((batch_size, height, width, 3)),
+                      jnp.bfloat16)
+    step = make_da_step(g_model, d_model, g_opt, d_opt, lambda_adv=1e-3)
+    g_state, d_state, m = step(g_state, d_state, src, lab, tgt, 0.01, 1e-3)
+    float(m["loss_G"])  # sync after compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        g_state, d_state, m = step(g_state, d_state, src, lab, tgt,
+                                   0.01, 1e-3)
+    float(m["loss_G"])  # readback serializes the chain
+    return batch_size * iters / (time.perf_counter() - t0)
+
+
 def main():
     backend = jax.default_backend()
     # batch 128 measured best on v5e: 16/32 ~40% lower, 64 = 1944,
@@ -131,6 +174,12 @@ def main():
             train_fps = bench_train_step()
         except Exception:
             traceback.print_exc(file=sys.stderr)
+    da_fps = 0.0
+    if backend == "tpu" and os.environ.get("BENCH_DA") == "1":
+        try:
+            da_fps = bench_da_step()
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
     result = {
         "metric": "images_per_sec_per_chip_bisenet_stdc813_1024x512_infer",
         "value": round(best, 2),
@@ -142,6 +191,8 @@ def main():
     }
     if train_fps:
         result["train_images_per_sec"] = round(train_fps, 2)
+    if da_fps:
+        result["da_source_images_per_sec"] = round(da_fps, 2)
     print(json.dumps(result))
 
 
