@@ -205,11 +205,13 @@ def test_da_step_out32_head(bisenet_setup, rng):
     assert np.isfinite(float(m["loss_G"]))
 
 
-def test_da_seg_loss_matches_unfused_call_path(bisenet_setup, rng):
+@pytest.mark.parametrize("d_head", [0, 2])  # train.py / train_nni.py heads
+def test_da_seg_loss_matches_unfused_call_path(bisenet_setup, rng, d_head):
     """The DA step computes its seg loss from native-stride features with
     the fused upsample+CE (train/adversarial.py seg_loss_fn); that must
     equal the reference formulation CE(model.__call__ upsampled heads)
-    summed (reference train.py:214-217)."""
+    summed (reference train.py:214-217), for both choices of the head D
+    consumes (which stays on the resize-then-CE path)."""
     from dasemanticsegmentationaml_tpu.ops.losses import cross_entropy_ignore
 
     model, variables = bisenet_setup
@@ -223,7 +225,7 @@ def test_da_seg_loss_matches_unfused_call_path(bisenet_setup, rng):
     tgt_images, _ = _fake_batch(rng)
 
     step = make_da_step(model, d_model, g_opt, d_opt, lambda_adv=1e-3,
-                        donate=False)
+                        d_head=d_head, donate=False)
     _g1, _d1, m = step(g_state, d_state, src_images, src_labels, tgt_images,
                        0.01, 1e-3)
 
