@@ -164,7 +164,8 @@ def _pallas_call(logits_t: jax.Array, out_hw: Tuple[int, int],
                  interpret: bool = False,
                  precision=jax.lax.Precision.HIGHEST,
                  split: bool = False,
-                 max_row_blk: int = MAX_ROW_BLK) -> jax.Array:
+                 max_row_blk: int = MAX_ROW_BLK,
+                 parallel_grid: bool = False) -> jax.Array:
     """logits_t: (B, h, C, w) fp32.
 
     split=True uses the bf16 hi+lo tap decomposition (see module
@@ -211,12 +212,18 @@ def _pallas_call(logits_t: jax.Array, out_hw: Tuple[int, int],
         + (out_h * h + w * out_w) * 4,
         transcendentals=0,
     )
+    extra = {}
+    if parallel_grid and not interpret:
+        # both grid dims are independent; lets Mosaic multi-buffer blocks
+        extra["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"))
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, out_h, out_w), jnp.int32),
         grid_spec=grid_spec,
         cost_estimate=cost,
         interpret=interpret,
+        **extra,
     )(*operands)
 
 

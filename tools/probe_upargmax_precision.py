@@ -48,14 +48,12 @@ def main():
             _pallas_call, precision=jax.lax.Precision.DEFAULT),
         # production split path (upsample_argmax routes bf16 inputs here)
         "SPLIT": functools.partial(_pallas_call, split=True),
-        # row-block sweep: bigger M amortizes MXU pipeline fill on the
-        # 19 per-class dots per block
-        "SPLIT128": functools.partial(_pallas_call, split=True,
-                                      max_row_blk=128),
-        "SPLIT256": functools.partial(_pallas_call, split=True,
-                                      max_row_blk=256),
-        "SPLIT512": functools.partial(_pallas_call, split=True,
-                                      max_row_blk=512),
+        # row-block sweep result (measured): 64/128/256 all ~56-57
+        # us/img; 512 exceeds the 16 MB scoped-VMEM limit and WEDGES
+        # THE COMPILE SERVICE for hours -- never probe it again.
+        # Mosaic multi-buffering via parallel dimension semantics:
+        "SPLITPAR": functools.partial(_pallas_call, split=True,
+                                      parallel_grid=True),
     }
     ref = None
     for name, call in variants.items():
