@@ -47,7 +47,8 @@ def _from_unit(name: str, u: float):
     u = min(max(u, 0.0), 1.0)
     if spec["_type"] == "loguniform":
         v = math.exp(math.log(lo) + u * (math.log(hi) - math.log(lo)))
-        return v
+        # exp(log(hi)) can land 1 ulp above hi; keep the bound honest
+        return min(max(v, lo), hi)
     v = lo + u * (hi - lo)
     if spec["_type"] == "randint":
         return int(min(max(round(v), lo), hi - 1))

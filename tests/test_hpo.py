@@ -77,3 +77,45 @@ def test_trial_main_runs_da(tmp_path):
     assert np.isfinite(miou)
     recs = [json.loads(line) for line in open(out)]
     assert any(r["type"] == "final" for r in recs)
+
+
+def test_run_experiment_sequential_fallback(tmp_path, monkeypatch):
+    """The built-in sequential loop (no nni): generates tuner params per
+    trial, launches the trial command, parses the 'final' record, feeds
+    the tuner, and reports the best. subprocess.run is faked so the test
+    exercises the orchestration without spawning jax subprocesses
+    (reference experiment_nni.py:117-152 semantics, failures surfaced)."""
+    import subprocess
+    from dasemanticsegmentationaml_tpu.hpo import experiment as ex
+
+    seen = []
+
+    def fake_run(cmd, capture_output=True, text=True):
+        # recover --nni_params / --nni_output from the trial command
+        params = json.loads(cmd[cmd.index("--nni_params") + 1])
+        out = cmd[cmd.index("--nni_output") + 1]
+        seen.append(params)
+        trial_id = len(seen) - 1
+        if trial_id == 1:  # one failing trial must not abort the sweep
+            return subprocess.CompletedProcess(cmd, 1, "", "boom")
+        miou = 0.1 * (trial_id + 1)
+        with open(out, "w") as f:
+            f.write(json.dumps({"type": "final", "value": miou}) + "\n")
+        return subprocess.CompletedProcess(cmd, 0, "", "")
+
+    monkeypatch.setattr(ex.subprocess, "run", fake_run)
+    res = ex.run_experiment(
+        static_args=["--root", "x"], max_trials=3,
+        results_path=str(tmp_path / "res.jsonl"), use_nni=False)
+
+    assert res["nni"] is False
+    assert len(res["trials"]) == 3 and len(seen) == 3
+    # every generated param set respects the reference search-space bounds
+    for p in seen:
+        assert 2 <= p["batch_size"] <= 12
+        assert 1e-4 <= p["lr"] <= 0.1
+    # failed trial scored 0; best is the last (0.3)
+    assert res["trials"][1]["miou"] == 0.0
+    assert res["best_miou"] == pytest.approx(0.3)
+    recs = [json.loads(l) for l in open(tmp_path / "res.jsonl")]
+    assert [r["id"] for r in recs] == [0, 1, 2]
