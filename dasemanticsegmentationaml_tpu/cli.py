@@ -169,7 +169,9 @@ def main(argv=None):
     def make_prepare(aug_type, remap):
         def prepare(batch, epoch=0, it=0):
             images, labels = batch
-            if batch_sh is not None:
+            # shard only batches that divide the mesh (e.g. the val loader's
+            # drop_last=False tail / eval_batch_size=1 stay single-device)
+            if batch_sh is not None and images.shape[0] % n_dev == 0:
                 images, labels = shard_batch((images, labels), mesh)
             key = jax.random.fold_in(jax.random.fold_in(rng, epoch), it) \
                 if aug_type else None
@@ -206,6 +208,9 @@ def main(argv=None):
 
     if args.domain_adaptation:
         # reference train_DA (train.py:134-299)
+        if not args.sync_bn and n_dev > 1:
+            print("warning: --sync_bn False (per-replica BN) is wired for "
+                  "supervised training; the DA step runs global-batch BN")
         source_ds = GtaV(args.root_source, args.aug_type, args.crop_height,
                          args.crop_width,
                          faithful_resize=args.faithful_resize)
@@ -272,16 +277,40 @@ def main(argv=None):
         opt = optax.MultiSteps(opt, every_k_schedule=args.iter_size)
     state = create_train_state(variables, opt)
     state, args.epoch_start_i = maybe_resume(args, state)
+    custom_step = None
+    untile_state = lambda s: s  # noqa: E731
     if n_dev > 1:
         state = replicate_state(state, mesh)
+        if not args.sync_bn:
+            # Reference-faithful per-replica BN (DataParallel semantics,
+            # reference train.py:497): every replica keeps its own running
+            # stats (leading device axis, parallel.mesh.tile_batch_stats)
+            # and the shard_map step pmean's the grads. Export/eval take
+            # shard 0, matching torch saving device 0's module.
+            from .parallel.mesh import (make_sharded_train_step,
+                                        tile_batch_stats)
+
+            state = state.replace(
+                batch_stats=tile_batch_stats(state.batch_stats, mesh))
+            custom_step = make_sharded_train_step(model, opt, mesh,
+                                                  sync_bn=False)
+
+            def untile_state(s):
+                return s.replace(batch_stats=jax.tree.map(
+                    lambda x: x[0], s.batch_stats))
 
     state, max_miou = train(
         args, model, state, opt, loader_train, loader_val,
-        prepare=prepare_train, evaluate_fn=evaluate_fn_of, writer=writer,
-        logger=logger, checkpoint_fn=checkpoint_fn, profiler=profiler)
+        prepare=prepare_train,
+        evaluate_fn=lambda s: evaluate_fn_of(untile_state(s)),
+        writer=writer, logger=logger,
+        checkpoint_fn=(None if checkpoint_fn is None else
+                       lambda s, name, **kw: checkpoint_fn(
+                           untile_state(s), name, **kw)),
+        profiler=profiler, train_step=custom_step)
     if profiler is not None:
         profiler.close()
-    precision, miou = evaluate_fn_of(state)
+    precision, miou = evaluate_fn_of(untile_state(state))
     return {"precision": precision, "miou": miou, "max_miou": max_miou}
 
 

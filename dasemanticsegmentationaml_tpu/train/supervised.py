@@ -99,17 +99,22 @@ def make_train_step(model, optimizer, *, ohem: Optional[dict] = None,
 
 def train(args, model, state: TrainState, optimizer, loader_train,
           loader_val, *, prepare, evaluate_fn, writer=None, logger=None,
-          checkpoint_fn: Optional[Callable] = None, profiler=None):
+          checkpoint_fn: Optional[Callable] = None, profiler=None,
+          train_step: Optional[Callable] = None):
     """Epoch loop with reference-parity bookkeeping (train.py:63-120).
 
     prepare(batch, epoch, it) -> (images, labels) on device.
     evaluate_fn(state) -> (precision, miou).
     checkpoint_fn(state, name) persists 'latest'/'best'.
+    train_step: optional prebuilt (state, images, labels, lr) -> (state,
+    loss) step -- used by the CLI's --sync_bn False per-replica-BN mode
+    (parallel.mesh.make_sharded_train_step).
     """
-    train_step = make_train_step(
-        model, optimizer,
-        ohem=(args.ohem if getattr(args, "loss", "crossentropy") == "ohem"
-              else None))
+    if train_step is None:
+        train_step = make_train_step(
+            model, optimizer,
+            ohem=(args.ohem if getattr(args, "loss", "crossentropy") == "ohem"
+                  else None))
     sched = PolyLR(args.learning_rate, args.num_epochs, mode="standard")
     max_miou = 0.0
     step_count = 0

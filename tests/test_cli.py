@@ -82,6 +82,38 @@ def test_cli_supervised_gtav_with_aug(tmp_path):
     assert np.isfinite(result["miou"])
 
 
+def test_cli_sync_bn_false_per_replica(tmp_path):
+    """--sync_bn False runs the DataParallel-faithful per-replica-BN step
+    on the 8-device mesh (reference train.py:497 semantics: unsynced BN
+    stats per replica, exported from shard 0). The exported running stats
+    must DIVERGE from the sync-BN run on identical data/seed, because
+    shard 0 only ever sees its own 1/8th of each batch."""
+    root = str(tmp_path / "cs")
+    _mk_cityscapes(root, "train", n=16)
+    _mk_cityscapes(root, "val", n=2)
+    from dasemanticsegmentationaml_tpu.utils.torch_io import (
+        read_torch_checkpoint,
+    )
+
+    base = []
+    for flag, val in zip(COMMON[::2], COMMON[1::2]):
+        if flag not in ("--num_devices", "--batch_size"):
+            base += [flag, val]
+    base += ["--num_devices", "8", "--batch_size", "8",
+             "--root", root, "--dataset", "Cityspaces"]
+    means = {}
+    for mode in ("True", "False"):
+        save = str(tmp_path / f"ck_sync_{mode}")
+        result = cli.main(base + ["--sync_bn", mode,
+                                  "--save_model_path", save])
+        assert np.isfinite(result["miou"])
+        state = read_torch_checkpoint(os.path.join(save, "latest.pth"))
+        key = "cp.backbone.features.0.bn.running_mean"
+        assert state[key].ndim == 1  # shard 0 exported, device axis gone
+        means[mode] = np.asarray(state[key])
+    assert not np.allclose(means["True"], means["False"])
+
+
 def test_cli_domain_shift_eval(tmp_path):
     root = str(tmp_path / "cs")
     _mk_cityscapes(root, "val", n=2)
