@@ -119,7 +119,10 @@ def maybe_resume(args, state, alias="latest"):
     return restored, start
 
 
-def main(argv=None):
+def main(argv=None, report_fn=None):
+    """report_fn(epoch, miou): optional per-validation-epoch hook, used by
+    hpo.trial to forward intermediate results to the tuner (reference
+    train_nni.py:194)."""
     args = parse_args(argv)
     dtype = _dtype(args)
     n_classes = args.num_classes
@@ -258,7 +261,7 @@ def main(argv=None):
             prepare_target=make_prepare(None, False),
             evaluate_fn=evaluate_fn_of, writer=writer, logger=logger,
             checkpoint_fn=checkpoint_fn, d_head=args.d_head,
-            profiler=profiler)
+            profiler=profiler, report_fn=report_fn)
         if profiler is not None:
             profiler.close()
         precision, miou = evaluate_fn_of(g_state)
@@ -307,7 +310,7 @@ def main(argv=None):
         checkpoint_fn=(None if checkpoint_fn is None else
                        lambda s, name, **kw: checkpoint_fn(
                            untile_state(s), name, **kw)),
-        profiler=profiler, train_step=custom_step)
+        profiler=profiler, train_step=custom_step, report_fn=report_fn)
     if profiler is not None:
         profiler.close()
     precision, miou = evaluate_fn_of(untile_state(state))

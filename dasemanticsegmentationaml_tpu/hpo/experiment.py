@@ -9,9 +9,10 @@ experiment_nni.py:124-143), with the reference's bugs fixed:
   * trial failures are surfaced instead of swallowed by a bare
     ``except: pass`` port scan (experiment_nni.py:146-152).
 
-Without nni (this image): a built-in sequential runner with the AnnealTuner
-fallback drives trials in subprocesses (the same process-isolation boundary
-NNI uses) and records intermediate/final mIoU to a JSONL results file.
+Without nni (this image): a built-in runner with the AnnealTuner fallback
+drives trials in subprocesses (the same process-isolation boundary NNI
+uses), honoring ``concurrency`` with a bounded in-flight pool, and records
+intermediate/final mIoU to a JSONL results file.
 """
 
 from __future__ import annotations
@@ -71,16 +72,22 @@ def run_experiment(static_args: Optional[List[str]] = None,
                 last_err = e
         raise RuntimeError(f"no free NNI port in 8030-8089: {last_err}")
 
-    # ---- built-in sequential fallback ------------------------------------
+    # ---- built-in fallback runner ----------------------------------------
+    # Honors ``concurrency`` for real: up to that many trial subprocesses
+    # in flight at once (like NNI's trial_concurrency); each completion
+    # feeds the tuner and frees a slot. NOTE on TPU: the tunnel admits one
+    # device process at a time (CLAUDE.md), so keep concurrency=1 there --
+    # concurrency>1 is for CPU/simulation sweeps.
+    from concurrent.futures import (FIRST_COMPLETED, ThreadPoolExecutor,
+                                    wait)
+
     tuner = AnnealTuner(seed=seed)
     deadline = time.time() + max_hours * 3600
     trials = []
     os.makedirs(os.path.dirname(os.path.abspath(results_path)),
                 exist_ok=True)
-    for trial_id in range(max_trials):
-        if time.time() > deadline:
-            break
-        params = tuner.generate_parameters()
+
+    def run_trial(trial_id, params):
         out_path = f"{results_path}.trial{trial_id}"
         cmd = _trial_command(static_args + [
             "--nni_params", json.dumps(params),
@@ -94,13 +101,33 @@ def run_experiment(static_args: Optional[List[str]] = None,
                     rec = json.loads(line)
                     if rec.get("type") == "final":
                         miou = float(rec["value"])
-        else:
-            print(f"trial {trial_id} failed:\n{proc.stderr[-2000:]}",
-                  file=sys.stderr)
-        tuner.receive_trial_result(params, miou)
-        trials.append({"id": trial_id, "params": params, "miou": miou})
-        with open(results_path, "a") as f:
-            f.write(json.dumps(trials[-1]) + "\n")
+        return params, miou, proc
+
+    concurrency = max(1, int(concurrency))
+    with ThreadPoolExecutor(max_workers=concurrency) as ex:
+        pending = {}
+        next_id = 0
+        while next_id < max_trials or pending:
+            while (next_id < max_trials and len(pending) < concurrency
+                   and time.time() <= deadline):
+                fut = ex.submit(run_trial, next_id,
+                                tuner.generate_parameters())
+                pending[fut] = next_id
+                next_id += 1
+            if not pending:
+                break
+            done, _ = wait(pending, return_when=FIRST_COMPLETED)
+            for fut in done:
+                trial_id = pending.pop(fut)
+                params, miou, proc = fut.result()
+                if proc.returncode != 0:
+                    print(f"trial {trial_id} failed:\n"
+                          f"{proc.stderr[-2000:]}", file=sys.stderr)
+                tuner.receive_trial_result(params, miou)
+                trials.append({"id": trial_id, "params": params,
+                               "miou": miou})
+                with open(results_path, "a") as f:
+                    f.write(json.dumps(trials[-1]) + "\n")
 
     best = tuner.best
     return {

@@ -94,9 +94,13 @@ def main(argv=None):
     if "weight_decay" in params:
         cli_args += ["--weight_decay", str(params["weight_decay"])]
 
-    result = cli.main(cli_args)
+    # Per-validation-epoch intermediate reporting (train_nni.py:194): the
+    # trainer calls back after every validation so the tuner gets an
+    # early-stopping signal, not just one number at the end.
+    result = cli.main(cli_args,
+                      report_fn=lambda epoch, miou:
+                      reporter.intermediate(float(miou)))
     miou = float(result.get("max_miou") or result.get("miou") or 0.0)
-    reporter.intermediate(miou)
     reporter.final(miou)
     return miou
 

@@ -17,7 +17,8 @@ from .metrics import (
     global_pixel_accuracy,
     global_pixel_accuracy_masked,
 )
-from .schedules import poly_lr, PolyLR
+from .schedules import (poly_lr, PolyLR, adjust_learning_rate,
+                        adjust_learning_rate_D)
 
 __all__ = [
     "BatchNorm",

@@ -29,6 +29,24 @@ def poly_lr(
     return init_lr * (1.0 - iteration / max_iter) ** power
 
 
+def adjust_learning_rate(args, iteration: int,
+                         max_iter: int = 300, power: float = 0.9):
+    """Reference train.py:122-126 (defined there, never called): poly-decay
+    ``args.learning_rate`` and return (base_lr, 10x_lr) -- the second group
+    is the reference's 10x head-LR convention for ``optimizer.param_groups
+    [1]``. Returned rather than mutated: our optimizers take the LR as a
+    step input (train.optim.set_learning_rate)."""
+    lr = poly_lr(args.learning_rate, iteration, max_iter, power)
+    return lr, lr * 10
+
+
+def adjust_learning_rate_D(args, iteration: int,
+                           max_iter: int = 300, power: float = 0.9):
+    """Reference train.py:128-132 twin for ``args.learning_rate_D``."""
+    lr = poly_lr(args.learning_rate_D, iteration, max_iter, power)
+    return lr, lr * 10
+
+
 @dataclass
 class PolyLR:
     """Stateful per-epoch poly LR.

@@ -169,8 +169,14 @@ def train_da(args, g_model, d_model, g_state, d_state, g_optimizer,
              d_optimizer, loader_source, loader_target, *,
              prepare_source, prepare_target, evaluate_fn, writer=None,
              logger=None, checkpoint_fn: Optional[Callable] = None,
-             d_head: int = 0, profiler=None):
-    """Epoch loop (reference train.py:176-299)."""
+             d_head: int = 0, profiler=None,
+             report_fn: Optional[Callable] = None):
+    """Epoch loop (reference train.py:176-299).
+
+    report_fn(epoch, miou): called after every validation -- the HPO
+    trial's per-epoch intermediate-result hook (reference
+    train_nni.py:194 reports mIoU to the tuner at each validation epoch).
+    """
     da_step = make_da_step(g_model, d_model, g_optimizer, d_optimizer,
                            lambda_adv=args.lambda_adv_target1,
                            d_head=d_head)
@@ -244,6 +250,8 @@ def train_da(args, g_model, d_model, g_state, d_state, g_optimizer,
 
         if epoch % args.validation_step == 0 and epoch != 0:
             precision, miou = evaluate_fn(g_state)
+            if report_fn is not None:
+                report_fn(epoch, miou)
             if miou > max_miou:
                 max_miou = miou
                 if checkpoint_fn is not None:

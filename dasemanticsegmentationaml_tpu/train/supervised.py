@@ -100,7 +100,8 @@ def make_train_step(model, optimizer, *, ohem: Optional[dict] = None,
 def train(args, model, state: TrainState, optimizer, loader_train,
           loader_val, *, prepare, evaluate_fn, writer=None, logger=None,
           checkpoint_fn: Optional[Callable] = None, profiler=None,
-          train_step: Optional[Callable] = None):
+          train_step: Optional[Callable] = None,
+          report_fn: Optional[Callable] = None):
     """Epoch loop with reference-parity bookkeeping (train.py:63-120).
 
     prepare(batch, epoch, it) -> (images, labels) on device.
@@ -166,6 +167,8 @@ def train(args, model, state: TrainState, optimizer, loader_train,
 
         if epoch % args.validation_step == 0 and epoch != 0:
             precision, miou = evaluate_fn(state)
+            if report_fn is not None:
+                report_fn(epoch, miou)
             if miou > max_miou:
                 max_miou = miou
                 if checkpoint_fn is not None:

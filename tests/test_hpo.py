@@ -63,20 +63,23 @@ def test_trial_main_runs_da(tmp_path):
     _mk_gtav(gta)
     out = str(tmp_path / "report.jsonl")
     params = {"batch_size": 2, "lr": 0.01, "lr_D1": 1e-3,
-              "num_epochs": 1, "lambda_adv1": 1e-3, "weight_decay": 1e-4}
+              "num_epochs": 3, "lambda_adv1": 1e-3, "weight_decay": 1e-4}
     miou = trial.main([
         "--nni_params", json.dumps(params), "--nni_output", out,
         "--root", cs, "--root_source", gta, "--root_target", cs,
         "--crop_height", "32", "--crop_width", "64",
         "--max_steps_per_epoch", "1", "--num_workers", "1",
         "--dtype", "float32", "--tensorboard", "False",
-        "--validation_step", "50", "--checkpoint_step", "50",
+        "--validation_step", "1", "--checkpoint_step", "50",
         "--save_model_path", str(tmp_path / "ck"),
         "--use_fused_eval", "False", "--num_devices", "1",
     ])
     assert np.isfinite(miou)
     recs = [json.loads(line) for line in open(out)]
-    assert any(r["type"] == "final" for r in recs)
+    # per-validation-epoch intermediate reporting (train_nni.py:194):
+    # num_epochs=3 + validation_step=1 -> validations at epochs 1 and 2
+    assert [r["type"] for r in recs].count("intermediate") == 2
+    assert recs[-1]["type"] == "final"
 
 
 def test_run_experiment_sequential_fallback(tmp_path, monkeypatch):
@@ -119,3 +122,38 @@ def test_run_experiment_sequential_fallback(tmp_path, monkeypatch):
     assert res["best_miou"] == pytest.approx(0.3)
     recs = [json.loads(l) for l in open(tmp_path / "res.jsonl")]
     assert [r["id"] for r in recs] == [0, 1, 2]
+
+
+def test_run_experiment_concurrency(tmp_path, monkeypatch):
+    """concurrency=2 really runs two trial subprocesses in flight (the
+    fallback used to accept-and-ignore the value)."""
+    import subprocess
+    import threading
+    import time as time_mod
+    from dasemanticsegmentationaml_tpu.hpo import experiment as ex
+
+    lock = threading.Lock()
+    inflight = {"now": 0, "max": 0, "n": 0}
+
+    def fake_run(cmd, capture_output=True, text=True):
+        with lock:
+            inflight["now"] += 1
+            inflight["max"] = max(inflight["max"], inflight["now"])
+            trial_no = inflight["n"]
+            inflight["n"] += 1
+        time_mod.sleep(0.1)
+        out = cmd[cmd.index("--nni_output") + 1]
+        with open(out, "w") as f:
+            f.write(json.dumps({"type": "final",
+                                "value": 0.1 * (trial_no + 1)}) + "\n")
+        with lock:
+            inflight["now"] -= 1
+        return subprocess.CompletedProcess(cmd, 0, "", "")
+
+    monkeypatch.setattr(ex.subprocess, "run", fake_run)
+    res = ex.run_experiment(
+        static_args=[], max_trials=4, concurrency=2,
+        results_path=str(tmp_path / "res.jsonl"), use_nni=False)
+    assert len(res["trials"]) == 4
+    assert inflight["max"] == 2
+    assert res["best_miou"] == pytest.approx(0.4)

@@ -249,3 +249,20 @@ def test_poly_lr_modes():
     for e in range(5):
         lr = lr * (1 - e / 50) ** 0.9
         assert abs(comp(e) - lr) < 1e-12
+
+
+def test_adjust_learning_rate_surface():
+    """Reference train.py:122-132 (defined-never-called there): poly decay
+    of the base/10x-head LR pair for G and D."""
+    import argparse
+
+    from dasemanticsegmentationaml_tpu.ops.schedules import (
+        adjust_learning_rate, adjust_learning_rate_D)
+
+    args = argparse.Namespace(learning_rate=0.01, learning_rate_D=1e-3)
+    lr, lr10 = adjust_learning_rate(args, 30)
+    assert abs(lr - 0.01 * (1 - 30 / 300) ** 0.9) < 1e-12
+    assert abs(lr10 - 10 * lr) < 1e-12
+    lrd, lrd10 = adjust_learning_rate_D(args, 30)
+    assert abs(lrd - 1e-3 * (1 - 30 / 300) ** 0.9) < 1e-12
+    assert abs(lrd10 - 10 * lrd) < 1e-12
