@@ -259,11 +259,38 @@ def _fused_ce_bwd(out_hw, ignore, interpret, res, g):
 _fused_ce.defvjp(_fused_ce_fwd, _fused_ce_bwd)
 
 
+VMEM_BUDGET = 12 * 1024 * 1024  # conservative vs the 16 MB scoped limit
+
+
+def _vmem_estimate(h: int, w: int, c: int, out_h: int, out_w: int,
+                   r: int) -> int:
+    """Upper-bound bytes of per-grid-step VMEM for the BACKWARD kernel
+    (a superset of the forward's working set): blocks + intermediates.
+
+    Same rationale as upsample_argmax._vmem_estimate -- a compile-side
+    scoped-vmem OOM wedges this stack's remote compile service for hours,
+    so over-budget shapes must fall back to XLA before reaching Mosaic.
+    """
+    x_blk = h * c * w * 2                    # bf16 logits block
+    labels = r * out_w * 4
+    taps = (r * h + 2 * w * out_w) * 4       # mr + mc + mct
+    dx_blk = h * c * w * 4                   # resident output block
+    rows = r * c * w * 6                     # fp32 dot result + bf16 copy
+    us = c * r * out_w * 4                   # per-class upsampled logits
+    ts = c * r * w * 4 + r * c * w * 6       # bwd partial dots + concat t
+    contrib = h * c * w * 4
+    misc = 6 * r * out_w * 4                 # m/s/valid/scale/...
+    return (x_blk + labels + taps + dx_blk + rows + us + ts + contrib
+            + misc)
+
+
 def supported(logits_shape, out_hw) -> bool:
     _, h, w, c = logits_shape
     out_h, out_w = out_hw
-    return (_row_block(out_h) > 0 and out_w % 128 == 0
-            and w % 8 == 0 and c <= 32)
+    r = _row_block(out_h)
+    return (r > 0 and out_w % 128 == 0
+            and w % 8 == 0 and c <= 32
+            and _vmem_estimate(h, w, c, out_h, out_w, r) <= VMEM_BUDGET)
 
 
 def cross_entropy_upsampled(logits: jax.Array, labels: jax.Array,

@@ -17,10 +17,9 @@ Round-trip design: the metric state (19x19 hist + 2 scalars) accumulates
 ON DEVICE in a donated carry, so the host enqueues eval steps without
 ever blocking on a result -- on the tunneled TPU a per-batch readback
 costs a full round trip and serializes the pipeline. The fp32 carry is
-flushed to a host float64 accumulator every ``flush_every`` batches so
-per-cell counts cannot drift for arbitrarily long runs (fp32 integer
-exactness ends at 2^24 per cell; the window bounds how far past it a
-cell can accumulate before moving to float64).
+flushed to a host float64 accumulator on a window derived from the batch
+pixel count (window * batch_pixels <= 2^24, the fp32 integer-exact
+range), so every count is exact.
 """
 
 from __future__ import annotations
@@ -94,7 +93,14 @@ def evaluate(model, variables, loader, num_classes: int, *, prepare,
              use_fused_kernel: bool = False,
              print_results: bool = True,
              flush_every: int = 32) -> Tuple[float, float]:
-    """Full-dataset eval; returns (precision, miou) like reference val()."""
+    """Full-dataset eval; returns (precision, miou) like reference val().
+
+    flush_every is a CAP on the device-accumulation window; the actual
+    window is min(flush_every, 2^24 // pixels_per_batch) so every fp32
+    histogram cell and the correct/total scalars stay inside the
+    integer-exact range before each float64 flush -- counts are exact,
+    not just drift-bounded (a dominant-class cell can only reach
+    window * batch_pixels <= 2^24)."""
     step = make_eval_accum_step(model, num_classes, use_fused_kernel)
     hist = np.zeros((num_classes, num_classes), np.float64)
     correct = 0.0
@@ -108,10 +114,15 @@ def evaluate(model, variables, loader, num_classes: int, *, prepare,
 
     acc = _zero_acc(num_classes)
     pending = 0
+    flush_limit = None
     for images, labels in device_prefetch(prepared(), depth=2):
+        if flush_limit is None:
+            batch_pixels = int(np.prod(labels.shape))
+            flush_limit = max(1, min(flush_every,
+                                     (1 << 24) // max(batch_pixels, 1)))
         acc = step(acc, variables, images, labels)
         pending += 1
-        if pending >= flush_every:
+        if pending >= flush_limit:
             hist += np.asarray(acc[0], np.float64)
             correct += float(acc[1])
             total += float(acc[2])

@@ -235,6 +235,40 @@ def test_da_seg_loss_matches_unfused_call_path(bisenet_setup, rng, d_head):
     assert float(m["loss"]) == pytest.approx(float(want), rel=1e-5)
 
 
+def test_da_seg_loss_interpret_kernels(bisenet_setup, rng, monkeypatch):
+    """Same DA seg-loss composition, but with the REAL fused-CE kernel
+    bodies running in interpret mode (on CPU force='auto' silently takes
+    the XLA fallback, so the rel=1e-5 test above never exercises the
+    kernels' bf16 logit quantization). Looser bf16-sized tolerance."""
+    from dasemanticsegmentationaml_tpu.ops.losses import cross_entropy_ignore
+    from dasemanticsegmentationaml_tpu.ops.pallas import fused_ce
+
+    orig = fused_ce.cross_entropy_upsampled
+    monkeypatch.setattr(
+        fused_ce, "cross_entropy_upsampled",
+        lambda *a, **k: orig(*a, **{**k, "force": "interpret"}))
+
+    model, variables = bisenet_setup
+    d_model = build_discriminator(19)
+    d_vars = d_model.init(jax.random.PRNGKey(1), jnp.zeros((1, H, W, 19)))
+    g_opt = make_optimizer("sgd", 0.01, momentum=0.9)
+    d_opt = make_optimizer("adam", 1e-3, betas=(0.9, 0.99))
+    g_state = create_train_state(variables, g_opt)
+    d_state = create_train_state(d_vars, d_opt)
+    src_images, src_labels = _fake_batch(rng)
+    tgt_images, _ = _fake_batch(rng)
+
+    step = make_da_step(model, d_model, g_opt, d_opt, lambda_adv=1e-3,
+                        d_head=0, donate=False)
+    _g1, _d1, m = step(g_state, d_state, src_images, src_labels, tgt_images,
+                       0.01, 1e-3)
+
+    outs, _ = model.apply(variables, src_images, train=True,
+                          mutable=["batch_stats"])
+    want = sum(cross_entropy_ignore(o, src_labels, 255) for o in outs)
+    assert float(m["loss"]) == pytest.approx(float(want), rel=2e-2)
+
+
 # ------------------------------------------------------------- evaluation
 def test_evaluate_perfect_prediction(bisenet_setup):
     """A loader whose labels equal the model's own argmax must give
