@@ -23,6 +23,15 @@ Note phase 3/4 reuse the activations from phases 1/2 (no recompute), i.e.
 outs_src comes from the PRE-update G and outs_tgt from the once-updated G',
 exactly like the torch autograd graph.
 
+Phase-2 optimizer semantics: params not on the adversarial path (the
+conv_out16/conv_out32 aux heads) receive ZERO gradients there, and this
+step still applies momentum decay + weight decay to them -- torch<2.0
+``zero_grad()`` behavior (grads zeroed in place), which is what the
+reference's era ran (requirements.txt pins no version). torch>=2.0
+defaults to set_to_none=True, under which SGD skips those params
+entirely; tests/test_train_equivalence.py pins the torch<2.0 semantics
+with an explicit ``zero_grad(set_to_none=False)`` oracle.
+
 ``d_head``: the main trainer feeds the full-resolution main head to D
 (train.py:230 -> output), while the NNI variant feeds the out32 auxiliary
 head (reference train_nni.py:135,150,156); both are supported.
