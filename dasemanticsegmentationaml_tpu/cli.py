@@ -194,7 +194,8 @@ def main(argv=None, report_fn=None):
             loader_val, n_classes,
             prepare=lambda b: prepare_val(b),
             use_fused_kernel=(args.use_fused_eval
-                              and jax.default_backend() == "tpu"))
+                              and jax.default_backend() == "tpu"),
+            scan_window=args.eval_scan_window)
 
     writer = make_writer(args.tensorboard)
     logger = JsonlLogger(args.jsonl_log)

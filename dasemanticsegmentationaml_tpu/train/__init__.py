@@ -4,7 +4,8 @@ from .optim import make_optimizer
 from .state import TrainState, create_train_state
 from .supervised import make_train_step, train
 from .adversarial import make_da_step, train_da
-from .evaluate import make_eval_step, make_eval_accum_step, evaluate
+from .evaluate import (make_eval_step, make_eval_accum_step,
+                       make_eval_scan_step, evaluate)
 
 __all__ = [
     "make_optimizer",
@@ -16,5 +17,6 @@ __all__ = [
     "train_da",
     "make_eval_step",
     "make_eval_accum_step",
+    "make_eval_scan_step",
     "evaluate",
 ]

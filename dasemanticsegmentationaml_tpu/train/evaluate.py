@@ -84,6 +84,37 @@ def make_eval_accum_step(model, num_classes: int,
     return step
 
 
+def make_eval_scan_step(model, num_classes: int,
+                        use_fused_kernel: bool = False):
+    """Jitted: (acc, variables, images, labels) -> acc where images/labels
+    carry a leading WINDOW axis (K, B, ...) and a ``lax.scan`` walks the
+    K batches on device in ONE dispatch.
+
+    Motivation (the builder's ranked candidate #3 / VERDICT round 1): on
+    the tunneled TPU every dispatch pays a host round trip, so a val pass
+    at eval_batch_size b costs N/b round trips even with the donated-carry
+    accumulator; scanning K batches per dispatch divides that by K. The
+    per-batch metric math is identical -- the scan body is the same
+    forward -> argmax -> confusion-matrix update."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def scan_step(acc, variables, images, labels):
+        def body(carry, xy):
+            im, lb = xy
+            hist, correct, total = carry
+            pred = _predict(model, variables, im, use_fused_kernel)
+            lb32 = lb.astype(jnp.int32)
+            hist = hist + confusion_matrix(lb32, pred, num_classes)
+            correct = correct + jnp.sum((pred == lb32).astype(jnp.float32))
+            total = total + jnp.float32(pred.size)
+            return (hist, correct, total), None
+
+        acc, _ = jax.lax.scan(body, acc, (images, labels))
+        return acc
+
+    return scan_step
+
+
 def _zero_acc(num_classes: int):
     return (jnp.zeros((num_classes, num_classes), jnp.float32),
             jnp.float32(0.0), jnp.float32(0.0))
@@ -92,7 +123,8 @@ def _zero_acc(num_classes: int):
 def evaluate(model, variables, loader, num_classes: int, *, prepare,
              use_fused_kernel: bool = False,
              print_results: bool = True,
-             flush_every: int = 32) -> Tuple[float, float]:
+             flush_every: int = 32,
+             scan_window: int = 0) -> Tuple[float, float]:
     """Full-dataset eval; returns (precision, miou) like reference val().
 
     flush_every is a CAP on the device-accumulation window; the actual
@@ -100,8 +132,16 @@ def evaluate(model, variables, loader, num_classes: int, *, prepare,
     histogram cell and the correct/total scalars stay inside the
     integer-exact range before each float64 flush -- counts are exact,
     not just drift-bounded (a dominant-class cell can only reach
-    window * batch_pixels <= 2^24)."""
+    window * batch_pixels <= 2^24).
+
+    scan_window > 1 groups that many same-shaped batches per dispatch via
+    ``lax.scan`` (make_eval_scan_step) -- one tunnel round trip per
+    window instead of per batch. Odd-shaped batches (drop_last=False
+    tail) and sub-window leftovers take the per-batch step; the metric
+    math is identical either way."""
     step = make_eval_accum_step(model, num_classes, use_fused_kernel)
+    scan_step = (make_eval_scan_step(model, num_classes, use_fused_kernel)
+                 if scan_window > 1 else None)
     hist = np.zeros((num_classes, num_classes), np.float64)
     correct = 0.0
     total = 0.0
@@ -115,22 +155,49 @@ def evaluate(model, variables, loader, num_classes: int, *, prepare,
     acc = _zero_acc(num_classes)
     pending = 0
     flush_limit = None
+    window = 0
+    buf = []
+    buf_shape = None
+
+    def flush(acc, pending):
+        nonlocal hist, correct, total
+        hist += np.asarray(acc[0], np.float64)
+        correct += float(acc[1])
+        total += float(acc[2])
+        return _zero_acc(num_classes), 0
+
+    def drain(acc, pending, n_new):
+        pending += n_new
+        if pending >= flush_limit:
+            acc, pending = flush(acc, pending)
+        return acc, pending
+
     for images, labels in device_prefetch(prepared(), depth=2):
         if flush_limit is None:
             batch_pixels = int(np.prod(labels.shape))
             flush_limit = max(1, min(flush_every,
                                      (1 << 24) // max(batch_pixels, 1)))
+            # a full scan window must itself stay integer-exact
+            window = min(scan_window, flush_limit) if scan_window > 1 else 0
+        if window > 1:
+            if buf_shape is None:
+                buf_shape = (images.shape, labels.shape)
+            if (images.shape, labels.shape) == buf_shape:
+                buf.append((images, labels))
+                if len(buf) == window:
+                    acc = scan_step(acc, variables,
+                                    jnp.stack([b[0] for b in buf]),
+                                    jnp.stack([b[1] for b in buf]))
+                    acc, pending = drain(acc, pending, len(buf))
+                    buf = []
+                continue
         acc = step(acc, variables, images, labels)
-        pending += 1
-        if pending >= flush_limit:
-            hist += np.asarray(acc[0], np.float64)
-            correct += float(acc[1])
-            total += float(acc[2])
-            acc, pending = _zero_acc(num_classes), 0
+        acc, pending = drain(acc, pending, 1)
+    for images, labels in buf:  # sub-window leftovers
+        acc = step(acc, variables, images, labels)
+        acc, pending = drain(acc, pending, 1)
     if pending:
-        hist += np.asarray(acc[0], np.float64)
-        correct += float(acc[1])
-        total += float(acc[2])
+        acc, pending = flush(acc, pending)
     precision = correct / max(total, 1.0)
     miou_list = np.asarray(per_class_iou(jnp.asarray(hist)))
     miou = float(np.mean(miou_list))

@@ -100,6 +100,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ohem_keep_num", type=int, default=65536)
     p.add_argument("--use_fused_eval", type=str2bool, default=True,
                    help="Pallas fused upsample+argmax eval kernel on TPU")
+    p.add_argument("--eval_scan_window", type=int, default=0,
+                   help="batches per device-side lax.scan eval dispatch "
+                        "(0/1 = one dispatch per batch); cuts tunnel "
+                        "round trips on TPU")
     p.add_argument("--resume", type=str, default=None,
                    help="orbax checkpoint dir to resume full train state")
     p.add_argument("--jsonl_log", type=str, default=None,

@@ -334,6 +334,31 @@ def test_evaluate_device_accumulation_matches_per_batch(bisenet_setup):
     assert float(acc[2]) == 2 * 2 * H * W
 
 
+def test_evaluate_scan_window_matches_per_batch(bisenet_setup):
+    """The device-side lax.scan eval path (one dispatch per window of
+    batches -- VERDICT round-1 candidate: kill per-batch tunnel round
+    trips) must reproduce the per-batch metrics exactly, including
+    sub-window leftovers and an odd-shaped drop_last=False tail batch."""
+    model, variables = bisenet_setup
+    rng = np.random.default_rng(2)
+    batches = []
+    for _ in range(7):   # 2 full windows of 3 + 1 leftover
+        img = rng.standard_normal((2, H, W, 3)).astype(np.float32)
+        lab = np.where(rng.uniform(size=(2, H, W)) < 0.1, 255,
+                       rng.integers(0, 19, (2, H, W))).astype(np.int32)
+        batches.append((img, lab))
+    batches.append((rng.standard_normal((1, H, W, 3)).astype(np.float32),
+                    rng.integers(0, 19, (1, H, W)).astype(np.int32)))
+    prepare = lambda b: (jnp.asarray(b[0]), jnp.asarray(b[1]))
+
+    ref = evaluate(model, variables, batches, 19, prepare=prepare,
+                   print_results=False)
+    got = evaluate(model, variables, batches, 19, prepare=prepare,
+                   print_results=False, scan_window=3)
+    assert got[0] == pytest.approx(ref[0], abs=1e-9)
+    assert got[1] == pytest.approx(ref[1], abs=1e-9)
+
+
 def test_da_step_all_discriminator_variants():
     """One DA step with each of the three reference discriminators
     (FCD / depthwise / depthwise+BN -- reference train.py:144-152)."""
