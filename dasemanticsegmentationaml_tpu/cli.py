@@ -127,8 +127,29 @@ def main(argv=None, report_fn=None):
     dtype = _dtype(args)
     n_classes = args.num_classes
 
-    mesh = create_mesh(args.num_devices)
+    if args.spatial_devices > 1:
+        # ('data','spatial') mesh: batch over 'data', image height over
+        # 'spatial' (XLA SPMD inserts the conv halo exchanges). Lets a
+        # batch smaller than the chip count — or a single huge image —
+        # scale past one chip (SURVEY.md section 2.3 stretch goal).
+        from .parallel import create_mesh_spatial
+
+        total = args.num_devices or len(jax.devices())
+        if total % args.spatial_devices:
+            raise SystemExit(f"--spatial_devices {args.spatial_devices} "
+                             f"must divide the device count {total}")
+        if args.crop_height % args.spatial_devices:
+            raise SystemExit(f"--crop_height {args.crop_height} must be "
+                             f"divisible by --spatial_devices")
+        mesh = create_mesh_spatial(total // args.spatial_devices,
+                                   args.spatial_devices)
+        if not args.sync_bn:
+            raise SystemExit("--sync_bn False (per-replica BN) is not "
+                             "supported with --spatial_devices")
+    else:
+        mesh = create_mesh(args.num_devices)
     n_dev = mesh.devices.size
+    data_div = dict(mesh.shape).get("data", n_dev)
     batch_sh = batch_sharding(mesh) if n_dev > 1 else None
 
     # ---- datasets (reference train.py:444-491) ---------------------------
@@ -172,9 +193,10 @@ def main(argv=None, report_fn=None):
     def make_prepare(aug_type, remap):
         def prepare(batch, epoch=0, it=0):
             images, labels = batch
-            # shard only batches that divide the mesh (e.g. the val loader's
-            # drop_last=False tail / eval_batch_size=1 stay single-device)
-            if batch_sh is not None and images.shape[0] % n_dev == 0:
+            # shard only batches that divide the mesh's data axis (e.g.
+            # the val loader's drop_last=False tail / eval_batch_size=1
+            # stay single-device)
+            if batch_sh is not None and images.shape[0] % data_div == 0:
                 images, labels = shard_batch((images, labels), mesh)
             key = jax.random.fold_in(jax.random.fold_in(rng, epoch), it) \
                 if aug_type else None

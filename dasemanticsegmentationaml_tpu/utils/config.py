@@ -92,6 +92,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "DataParallel-faithful)")
     p.add_argument("--num_devices", type=int, default=None,
                    help="devices in the data mesh (default: all)")
+    p.add_argument("--spatial_devices", type=int, default=1,
+                   help="shard image height over this many devices "
+                        "(('data','spatial') mesh, XLA SPMD conv halo "
+                        "exchange -- the CNN sequence-parallel analogue); "
+                        "num_devices/spatial_devices stay data-parallel")
     p.add_argument("--d_head", type=int, default=0, choices=[0, 2],
                    help="discriminator input head: 0=main (train.py:230), "
                         "2=out32 (train_nni.py:135)")

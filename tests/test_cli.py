@@ -114,6 +114,25 @@ def test_cli_sync_bn_false_per_replica(tmp_path):
     assert not np.allclose(means["True"], means["False"])
 
 
+def test_cli_spatial_mesh_supervised(tmp_path):
+    """--spatial_devices 4 trains on a 2-data x 4-spatial mesh (image
+    height sharded, XLA SPMD halo exchange) end to end through the CLI."""
+    root = str(tmp_path / "cs")
+    _mk_cityscapes(root, "train", n=8)
+    _mk_cityscapes(root, "val", n=2)
+    base = []
+    for flag, val in zip(COMMON[::2], COMMON[1::2]):
+        if flag not in ("--num_devices", "--batch_size", "--num_epochs"):
+            base += [flag, val]
+    result = cli.main(base + [
+        "--num_devices", "8", "--spatial_devices", "4",
+        "--batch_size", "4", "--num_epochs", "2",
+        "--root", root, "--dataset", "Cityspaces",
+        "--save_model_path", str(tmp_path / "ck_sp"),
+    ])
+    assert np.isfinite(result["miou"])
+
+
 def test_cli_domain_shift_eval(tmp_path):
     root = str(tmp_path / "cs")
     _mk_cityscapes(root, "val", n=2)
