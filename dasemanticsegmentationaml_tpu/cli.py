@@ -316,10 +316,16 @@ def main(argv=None, report_fn=None):
             from .parallel.mesh import (make_sharded_train_step,
                                         tile_batch_stats)
 
+            if args.batch_size % data_div:
+                raise SystemExit(
+                    f"--sync_bn False needs --batch_size "
+                    f"{args.batch_size} divisible by the data-mesh size "
+                    f"{data_div} (shard_map shards the batch)")
             state = state.replace(
                 batch_stats=tile_batch_stats(state.batch_stats, mesh))
             custom_step = make_sharded_train_step(model, opt, mesh,
-                                                  sync_bn=False)
+                                                  sync_bn=False,
+                                                  ohem=args.ohem)
 
             def untile_state(s):
                 return s.replace(batch_stats=jax.tree.map(

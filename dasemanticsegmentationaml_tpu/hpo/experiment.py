@@ -110,19 +110,27 @@ def run_experiment(static_args: Optional[List[str]] = None,
         while next_id < max_trials or pending:
             while (next_id < max_trials and len(pending) < concurrency
                    and time.time() <= deadline):
-                fut = ex.submit(run_trial, next_id,
-                                tuner.generate_parameters())
-                pending[fut] = next_id
+                params = tuner.generate_parameters()
+                fut = ex.submit(run_trial, next_id, params)
+                pending[fut] = (next_id, params)
                 next_id += 1
             if not pending:
                 break
             done, _ = wait(pending, return_when=FIRST_COMPLETED)
             for fut in done:
-                trial_id = pending.pop(fut)
-                params, miou, proc = fut.result()
-                if proc.returncode != 0:
-                    print(f"trial {trial_id} failed:\n"
-                          f"{proc.stderr[-2000:]}", file=sys.stderr)
+                trial_id, params = pending.pop(fut)
+                try:
+                    _, miou, proc = fut.result()
+                    if proc.returncode != 0:
+                        print(f"trial {trial_id} failed:\n"
+                              f"{proc.stderr[-2000:]}", file=sys.stderr)
+                except Exception as e:
+                    # e.g. a truncated --nni_output JSON from a killed
+                    # subprocess; degrade like a failed trial instead of
+                    # aborting the sweep and losing in-flight results
+                    print(f"trial {trial_id} errored: {e!r}",
+                          file=sys.stderr)
+                    miou = 0.0
                 tuner.receive_trial_result(params, miou)
                 trials.append({"id": trial_id, "params": params,
                                "miou": miou})

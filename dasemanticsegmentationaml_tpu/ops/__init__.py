@@ -34,4 +34,6 @@ __all__ = [
     "global_pixel_accuracy_masked",
     "poly_lr",
     "PolyLR",
+    "adjust_learning_rate",
+    "adjust_learning_rate_D",
 ]

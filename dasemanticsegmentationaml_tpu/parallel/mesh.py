@@ -31,7 +31,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.losses import cross_entropy_ignore
 from ..train.optim import set_learning_rate
 from ..train.state import TrainState
 
@@ -134,6 +133,7 @@ def replicate_state(state, mesh: Mesh):
 
 def make_sharded_train_step(model, optimizer, mesh: Mesh, *,
                             sync_bn: bool = True,
+                            ohem=None,
                             ignore_index: int = 255,
                             axis_name: str = DATA_AXIS):
     """Data-parallel supervised train step over the mesh.
@@ -142,16 +142,18 @@ def make_sharded_train_step(model, optimizer, mesh: Mesh, *,
                      stats and inserts the gradient psum.
     sync_bn=False -> shard_map per-replica step (DataParallel-faithful BN),
                      grads pmean'd across 'data'.
-    """
 
-    def loss_and_stats(params, batch_stats, images, labels):
-        (out, out16, out32), mutated = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            images, train=True, mutable=["batch_stats"])
-        loss = (cross_entropy_ignore(out, labels, ignore_index)
-                + cross_entropy_ignore(out16, labels, ignore_index)
-                + cross_entropy_ignore(out32, labels, ignore_index))
-        return loss, mutated["batch_stats"]
+    The loss is the shared supervised composition
+    (train.supervised.make_supervised_loss): same OHEM option and the
+    same fused upsample+CE TPU path as the single-device step. In
+    per-replica mode OHEM's top-k runs per shard -- the
+    DataParallel-faithful reading, since torch would compute the loss
+    per replica too.
+    """
+    from ..train.supervised import make_supervised_loss
+
+    loss_and_stats = make_supervised_loss(model, ohem=ohem,
+                                          ignore_index=ignore_index)
 
     def apply_updates(state, grads, loss, new_stats, lr):
         opt_state = set_learning_rate(state.opt_state, lr)

@@ -159,17 +159,17 @@ def evaluate(model, variables, loader, num_classes: int, *, prepare,
     buf = []
     buf_shape = None
 
-    def flush(acc, pending):
+    def flush(acc):
         nonlocal hist, correct, total
         hist += np.asarray(acc[0], np.float64)
         correct += float(acc[1])
         total += float(acc[2])
-        return _zero_acc(num_classes), 0
+        return _zero_acc(num_classes)
 
     def drain(acc, pending, n_new):
         pending += n_new
         if pending >= flush_limit:
-            acc, pending = flush(acc, pending)
+            acc, pending = flush(acc), 0
         return acc, pending
 
     for images, labels in device_prefetch(prepared(), depth=2):
@@ -185,6 +185,11 @@ def evaluate(model, variables, loader, num_classes: int, *, prepare,
             if (images.shape, labels.shape) == buf_shape:
                 buf.append((images, labels))
                 if len(buf) == window:
+                    if pending + window > flush_limit:
+                        # flush BEFORE scanning so the carry never holds
+                        # more than flush_limit batches (the integer-
+                        # exactness bound); a scan adds `window` at once
+                        acc, pending = flush(acc), 0
                     acc = scan_step(acc, variables,
                                     jnp.stack([b[0] for b in buf]),
                                     jnp.stack([b[1] for b in buf]))
@@ -197,7 +202,7 @@ def evaluate(model, variables, loader, num_classes: int, *, prepare,
         acc = step(acc, variables, images, labels)
         acc, pending = drain(acc, pending, 1)
     if pending:
-        acc, pending = flush(acc, pending)
+        flush(acc)
     precision = correct / max(total, 1.0)
     miou_list = np.asarray(per_class_iou(jnp.asarray(hist)))
     miou = float(np.mean(miou_list))

@@ -35,6 +35,50 @@ from .optim import set_learning_rate
 from .state import TrainState
 
 
+def make_supervised_loss(model, *, ohem: Optional[dict] = None,
+                         ignore_index: int = 255):
+    """(params, batch_stats, images, labels) -> (loss, new_batch_stats).
+
+    The reference's 3-head summed CE(ignore=255) (train.py:86-89), with
+    OHEM as the --loss ohem option (utils.py:256-271, shipped-but-unwired
+    there). On TPU the plain-CE path runs the heads at native stride and
+    fuses the align_corners upsample into the CE
+    (ops/pallas/fused_ce.py), so full-resolution logits never
+    materialize in HBM fwd or bwd. Shared by the single-device step and
+    the sharded per-replica-BN step (parallel.mesh)."""
+
+    def loss_of(out, labels):
+        if ohem is not None:
+            return ohem_cross_entropy(out, labels, ohem["threshold"],
+                                      ohem["keep_num"], ignore_index)
+        return cross_entropy_ignore(out, labels, ignore_index)
+
+    use_fused_loss = ohem is None and jax.default_backend() == "tpu"
+
+    def loss_and_stats(params, batch_stats, images, labels):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if use_fused_loss:
+            from ..ops.pallas.fused_ce import cross_entropy_upsampled
+
+            (f, f16, f32), mutated = model.apply(
+                variables, images, train=True, mutable=["batch_stats"],
+                method=type(model).features)
+            hw = images.shape[1:3]
+            loss = (cross_entropy_upsampled(f, labels, hw, ignore_index)
+                    + cross_entropy_upsampled(f16, labels, hw,
+                                              ignore_index)
+                    + cross_entropy_upsampled(f32, labels, hw,
+                                              ignore_index))
+            return loss, mutated["batch_stats"]
+        (out, out16, out32), mutated = model.apply(
+            variables, images, train=True, mutable=["batch_stats"])
+        loss = (loss_of(out, labels) + loss_of(out16, labels)
+                + loss_of(out32, labels))
+        return loss, mutated["batch_stats"]
+
+    return loss_and_stats
+
+
 def make_train_step(model, optimizer, *, ohem: Optional[dict] = None,
                     ignore_index: int = 255, donate: bool = True):
     """Build the jitted supervised train step.
@@ -43,45 +87,13 @@ def make_train_step(model, optimizer, *, ohem: Optional[dict] = None,
     (reference utils.py:256-271 -- shipped but unwired there; first-class
     here via --loss ohem).
     """
-
-    def loss_of(out, labels):
-        if ohem is not None:
-            return ohem_cross_entropy(out, labels, ohem["threshold"],
-                                      ohem["keep_num"], ignore_index)
-        return cross_entropy_ignore(out, labels, ignore_index)
-
-    # Plain-CE loss on TPU: run the heads at native stride and fuse the
-    # align_corners upsample into the CE (ops/pallas/fused_ce.py) so the
-    # full-resolution logits never materialize in HBM fwd or bwd --
-    # mathematically the reference's resize-then-CE (train.py:86-89).
-    use_fused_loss = ohem is None and jax.default_backend() == "tpu"
+    loss_and_stats = make_supervised_loss(model, ohem=ohem,
+                                          ignore_index=ignore_index)
 
     def step(state: TrainState, images, labels, lr):
         def loss_fn(params):
-            variables = {"params": params,
-                         "batch_stats": state.batch_stats}
-            if use_fused_loss:
-                from ..ops.pallas.fused_ce import cross_entropy_upsampled
-
-                (f, f16, f32), mutated = model.apply(
-                    variables, images, train=True,
-                    mutable=["batch_stats"],
-                    method=type(model).features)
-                hw = images.shape[1:3]
-                loss = (cross_entropy_upsampled(f, labels, hw,
-                                                ignore_index)
-                        + cross_entropy_upsampled(f16, labels, hw,
-                                                  ignore_index)
-                        + cross_entropy_upsampled(f32, labels, hw,
-                                                  ignore_index))
-                return loss, mutated["batch_stats"]
-            (out, out16, out32), mutated = model.apply(
-                variables, images, train=True, mutable=["batch_stats"])
-            loss1 = loss_of(out, labels)
-            loss2 = loss_of(out16, labels)
-            loss3 = loss_of(out32, labels)
-            loss = loss1 + loss2 + loss3
-            return loss, mutated["batch_stats"]
+            return loss_and_stats(params, state.batch_stats, images,
+                                  labels)
 
         (loss, new_stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)

@@ -353,8 +353,11 @@ def test_evaluate_scan_window_matches_per_batch(bisenet_setup):
 
     ref = evaluate(model, variables, batches, 19, prepare=prepare,
                    print_results=False)
+    # flush_every=4 with window 3: pending+window crosses the flush
+    # limit mid-run, exercising the pre-scan flush that keeps the device
+    # carry inside the integer-exact bound
     got = evaluate(model, variables, batches, 19, prepare=prepare,
-                   print_results=False, scan_window=3)
+                   print_results=False, scan_window=3, flush_every=4)
     assert got[0] == pytest.approx(ref[0], abs=1e-9)
     assert got[1] == pytest.approx(ref[1], abs=1e-9)
 
