@@ -93,6 +93,39 @@ def test_sharded_per_replica_bn_step(setup):
     assert not np.allclose(leaf_np[0], leaf_np[1])
 
 
+def test_sharded_per_replica_ohem_step(setup):
+    """--loss ohem + --sync_bn False: the per-replica step must honor the
+    OHEM loss (it used to silently fall back to plain CE)."""
+    model, variables, opt, images, labels = setup
+    mesh = create_mesh(8)
+    repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+
+    def fresh_state():
+        # copies: the step donates its state, and the fixture's variables
+        # are module-scoped
+        v = jax.tree.map(jnp.array, variables)
+        s = create_train_state(v, opt)
+        s = s.replace(
+            batch_stats=tile_batch_stats(s.batch_stats, mesh),
+            params=jax.device_put(s.params, repl),
+            opt_state=jax.device_put(s.opt_state, repl))
+        return s
+
+    imgs, labs = shard_batch((images, labels), mesh)
+    # a large LOSS threshold forces the top-keep_num branch (at random
+    # init every pixel's loss ~ln(19), so any small threshold keeps all
+    # pixels and OHEM degenerates to plain CE)
+    ohem = {"threshold": 100.0, "keep_num": 64}
+    step = make_sharded_train_step(model, opt, mesh, sync_bn=False,
+                                   ohem=ohem)
+    _, loss_ohem = step(fresh_state(), imgs, labs, 0.01)
+    assert np.isfinite(float(loss_ohem))
+    # the OHEM loss (top-k over hard pixels) must differ from plain CE
+    step_ce = make_sharded_train_step(model, opt, mesh, sync_bn=False)
+    _, loss_ce = step_ce(fresh_state(), imgs, labs, 0.01)
+    assert abs(float(loss_ohem) - float(loss_ce)) > 1e-3
+
+
 def test_batch_sharding_layout():
     mesh = create_mesh(4)
     sh = batch_sharding(mesh)
