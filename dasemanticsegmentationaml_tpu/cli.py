@@ -119,6 +119,29 @@ def maybe_resume(args, state, alias="latest"):
     return restored, start
 
 
+def build_mesh(args):
+    """Mesh from the CLI flags: plain data mesh, or ('data','spatial')
+    when --spatial_devices shards image height (XLA SPMD inserts the conv
+    halo exchanges — lets a batch smaller than the chip count, or a
+    single huge image, scale past one chip; SURVEY.md section 2.3)."""
+    if args.spatial_devices <= 1:
+        return create_mesh(args.num_devices)
+    from .parallel import create_mesh_spatial
+
+    total = args.num_devices or len(jax.devices())
+    if total % args.spatial_devices:
+        raise SystemExit(f"--spatial_devices {args.spatial_devices} "
+                         f"must divide the device count {total}")
+    if args.crop_height % args.spatial_devices:
+        raise SystemExit(f"--crop_height {args.crop_height} must be "
+                         f"divisible by --spatial_devices")
+    if not args.sync_bn:
+        raise SystemExit("--sync_bn False (per-replica BN) is not "
+                         "supported with --spatial_devices")
+    return create_mesh_spatial(total // args.spatial_devices,
+                               args.spatial_devices)
+
+
 def main(argv=None, report_fn=None):
     """report_fn(epoch, miou): optional per-validation-epoch hook, used by
     hpo.trial to forward intermediate results to the tuner (reference
@@ -127,29 +150,9 @@ def main(argv=None, report_fn=None):
     dtype = _dtype(args)
     n_classes = args.num_classes
 
-    if args.spatial_devices > 1:
-        # ('data','spatial') mesh: batch over 'data', image height over
-        # 'spatial' (XLA SPMD inserts the conv halo exchanges). Lets a
-        # batch smaller than the chip count — or a single huge image —
-        # scale past one chip (SURVEY.md section 2.3 stretch goal).
-        from .parallel import create_mesh_spatial
-
-        total = args.num_devices or len(jax.devices())
-        if total % args.spatial_devices:
-            raise SystemExit(f"--spatial_devices {args.spatial_devices} "
-                             f"must divide the device count {total}")
-        if args.crop_height % args.spatial_devices:
-            raise SystemExit(f"--crop_height {args.crop_height} must be "
-                             f"divisible by --spatial_devices")
-        mesh = create_mesh_spatial(total // args.spatial_devices,
-                                   args.spatial_devices)
-        if not args.sync_bn:
-            raise SystemExit("--sync_bn False (per-replica BN) is not "
-                             "supported with --spatial_devices")
-    else:
-        mesh = create_mesh(args.num_devices)
+    mesh = build_mesh(args)
     n_dev = mesh.devices.size
-    data_div = dict(mesh.shape).get("data", n_dev)
+    data_div = mesh.shape.get("data", n_dev)
     batch_sh = batch_sharding(mesh) if n_dev > 1 else None
 
     # ---- datasets (reference train.py:444-491) ---------------------------
@@ -304,7 +307,10 @@ def main(argv=None, report_fn=None):
     state = create_train_state(variables, opt)
     state, args.epoch_start_i = maybe_resume(args, state)
     custom_step = None
-    untile_state = lambda s: s  # noqa: E731
+
+    def untile_state(s):
+        return s
+
     if n_dev > 1:
         state = replicate_state(state, mesh)
         if not args.sync_bn:

@@ -40,6 +40,15 @@ def _mk_gtav(root, n=6, size=(H, W)):
                         ).save(os.path.join(root, "labels", f"{i:05d}.png"))
 
 
+def common_without(*flags):
+    """COMMON minus the given flag/value pairs (for overriding)."""
+    out = []
+    for flag, val in zip(COMMON[::2], COMMON[1::2]):
+        if flag not in flags:
+            out += [flag, val]
+    return out
+
+
 COMMON = [
     "--crop_height", str(H), "--crop_width", str(W),
     "--batch_size", "2", "--num_epochs", "2", "--validation_step", "1",
@@ -95,12 +104,9 @@ def test_cli_sync_bn_false_per_replica(tmp_path):
         read_torch_checkpoint,
     )
 
-    base = []
-    for flag, val in zip(COMMON[::2], COMMON[1::2]):
-        if flag not in ("--num_devices", "--batch_size"):
-            base += [flag, val]
-    base += ["--num_devices", "8", "--batch_size", "8",
-             "--root", root, "--dataset", "Cityspaces"]
+    base = common_without("--num_devices", "--batch_size") + [
+        "--num_devices", "8", "--batch_size", "8",
+        "--root", root, "--dataset", "Cityspaces"]
     means = {}
     for mode in ("True", "False"):
         save = str(tmp_path / f"ck_sync_{mode}")
@@ -120,10 +126,8 @@ def test_cli_spatial_mesh_supervised(tmp_path):
     root = str(tmp_path / "cs")
     _mk_cityscapes(root, "train", n=8)
     _mk_cityscapes(root, "val", n=2)
-    base = []
-    for flag, val in zip(COMMON[::2], COMMON[1::2]):
-        if flag not in ("--num_devices", "--batch_size", "--num_epochs"):
-            base += [flag, val]
+    base = common_without("--num_devices", "--batch_size",
+                          "--num_epochs")
     result = cli.main(base + [
         "--num_devices", "8", "--spatial_devices", "4",
         "--batch_size", "4", "--num_epochs", "2",
