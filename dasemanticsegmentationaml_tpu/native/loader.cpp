@@ -98,7 +98,7 @@ struct AxisCoeffs {
   std::vector<int> bounds_lo;  // first source index per output pixel
   std::vector<int> counts;     // number of taps
   std::vector<float> weights;  // taps, row-major [out, kmax]
-  int kmax;
+  int kmax = 0;
 };
 
 AxisCoeffs triangle_coeffs(int in_size, int out_size) {
@@ -141,43 +141,69 @@ inline uint8_t clamp8(float v) {
 }
 
 // Separable bilinear (triangle) resize, uint8 HWC.
+//
+// Planar float passes structured for auto-vectorization: the horizontal
+// pass is a contiguous dot product per output pixel, the vertical pass a
+// SAXPY over contiguous rows. Identity axes (in == out, e.g. the height
+// axis of the faithful 2048x1024 -> 512x1024 Cityscapes path) skip their
+// accumulation entirely. Accumulation order per output pixel (k ascending,
+// horizontal then vertical) matches the naive formulation, so results are
+// bit-identical to the previous scalar version.
 void resize_bilinear(const uint8_t* src, int in_w, int in_h, int ch,
                      uint8_t* dst, int out_w, int out_h) {
-  AxisCoeffs cx = triangle_coeffs(in_w, out_w);
-  AxisCoeffs cy = triangle_coeffs(in_h, out_h);
-  // horizontal pass -> float intermediate (in_h x out_w x ch)
-  std::vector<float> tmp(static_cast<size_t>(in_h) * out_w * ch);
+  const bool id_x = (in_w == out_w);
+  const bool id_y = (in_h == out_h);
+  AxisCoeffs cx, cy;
+  if (!id_x) cx = triangle_coeffs(in_w, out_w);
+  if (!id_y) cy = triangle_coeffs(in_h, out_h);
+
+  // horizontal pass -> planar float intermediate [ch][in_h][out_w]
+  std::vector<float> tmp(static_cast<size_t>(ch) * in_h * out_w);
+  std::vector<float> plane(in_w);
   for (int y = 0; y < in_h; y++) {
     const uint8_t* row = src + static_cast<size_t>(y) * in_w * ch;
-    float* trow = tmp.data() + static_cast<size_t>(y) * out_w * ch;
-    for (int x = 0; x < out_w; x++) {
-      const float* wv = &cx.weights[static_cast<size_t>(x) * cx.kmax];
-      int lo = cx.bounds_lo[x];
-      int n = cx.counts[x];
-      for (int c = 0; c < ch; c++) {
+    for (int c = 0; c < ch; c++) {
+      for (int x = 0; x < in_w; x++) {
+        plane[x] = static_cast<float>(row[x * ch + c]);
+      }
+      float* trow =
+          tmp.data() + (static_cast<size_t>(c) * in_h + y) * out_w;
+      if (id_x) {
+        std::memcpy(trow, plane.data(), in_w * sizeof(float));
+        continue;
+      }
+      for (int x = 0; x < out_w; x++) {
+        const float* wv = &cx.weights[static_cast<size_t>(x) * cx.kmax];
+        const float* pv = plane.data() + cx.bounds_lo[x];
+        int n = cx.counts[x];
         float acc = 0.0f;
-        for (int k = 0; k < n; k++) {
-          acc += wv[k] * row[(lo + k) * ch + c];
-        }
-        trow[x * ch + c] = acc;
+        for (int k = 0; k < n; k++) acc += wv[k] * pv[k];
+        trow[x] = acc;
       }
     }
   }
   // vertical pass
+  std::vector<float> acc(out_w);
   for (int y = 0; y < out_h; y++) {
-    const float* wv = &cy.weights[static_cast<size_t>(y) * cy.kmax];
-    int lo = cy.bounds_lo[y];
-    int n = cy.counts[y];
     uint8_t* drow = dst + static_cast<size_t>(y) * out_w * ch;
-    for (int x = 0; x < out_w; x++) {
-      for (int c = 0; c < ch; c++) {
-        float acc = 0.0f;
+    for (int c = 0; c < ch; c++) {
+      const float* base = tmp.data() + static_cast<size_t>(c) * in_h * out_w;
+      const float* arow;
+      if (id_y) {
+        arow = base + static_cast<size_t>(y) * out_w;
+      } else {
+        const float* wv = &cy.weights[static_cast<size_t>(y) * cy.kmax];
+        int lo = cy.bounds_lo[y];
+        int n = cy.counts[y];
+        std::fill(acc.begin(), acc.end(), 0.0f);
         for (int k = 0; k < n; k++) {
-          acc += wv[k] *
-                 tmp[(static_cast<size_t>(lo + k) * out_w + x) * ch + c];
+          const float* trow = base + static_cast<size_t>(lo + k) * out_w;
+          float w = wv[k];
+          for (int x = 0; x < out_w; x++) acc[x] += w * trow[x];
         }
-        drow[x * ch + c] = clamp8(acc);
+        arow = acc.data();
       }
+      for (int x = 0; x < out_w; x++) drow[x * ch + c] = clamp8(arow[x]);
     }
   }
 }
