@@ -312,23 +312,23 @@ def main(argv=None, report_fn=None):
         return s
 
     if n_dev > 1:
-        state = replicate_state(state, mesh)
-        if not args.sync_bn:
+        if args.sync_bn:
+            state = replicate_state(state, mesh)
+        else:
             # Reference-faithful per-replica BN (DataParallel semantics,
             # reference train.py:497): every replica keeps its own running
-            # stats (leading device axis, parallel.mesh.tile_batch_stats)
+            # stats (leading device axis, parallel.per_replica_state)
             # and the shard_map step pmean's the grads. Export/eval take
             # shard 0, matching torch saving device 0's module.
             from .parallel.mesh import (make_sharded_train_step,
-                                        tile_batch_stats)
+                                        per_replica_state)
 
             if args.batch_size % data_div:
                 raise SystemExit(
                     f"--sync_bn False needs --batch_size "
                     f"{args.batch_size} divisible by the data-mesh size "
                     f"{data_div} (shard_map shards the batch)")
-            state = state.replace(
-                batch_stats=tile_batch_stats(state.batch_stats, mesh))
+            state = per_replica_state(state, mesh)
             custom_step = make_sharded_train_step(model, opt, mesh,
                                                   sync_bn=False,
                                                   ohem=args.ohem)

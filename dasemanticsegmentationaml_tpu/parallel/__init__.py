@@ -10,6 +10,7 @@ from .mesh import (
     replicated_sharding,
     shard_batch,
     replicate_state,
+    per_replica_state,
     make_sharded_train_step,
 )
 
@@ -22,5 +23,6 @@ __all__ = [
     "replicated_sharding",
     "shard_batch",
     "replicate_state",
+    "per_replica_state",
     "make_sharded_train_step",
 ]

@@ -229,3 +229,17 @@ def tile_batch_stats(batch_stats, mesh: Mesh, axis_name: str = DATA_AXIS):
             lambda x: jnp.broadcast_to(x, (n,) + x.shape), t),
         out_shardings=jax.tree.map(lambda _: sh, batch_stats))
     return tile(batch_stats)
+
+
+def per_replica_state(state, mesh: Mesh, axis_name: str = DATA_AXIS):
+    """State for the per-replica-BN (``sync_bn=False``) step: params and
+    opt_state replicated, batch_stats tiled with a leading device axis.
+
+    Goes through ``replicate_state`` so every buffer is FRESH — building
+    this with raw ``device_put`` aliases the origin-device shard onto the
+    caller's arrays, and the step's ``donate_argnums`` would delete them
+    out from under the caller (the ``replicate_state`` footgun).
+    """
+    state = replicate_state(state, mesh)
+    return state.replace(
+        batch_stats=tile_batch_stats(state.batch_stats, mesh, axis_name))

@@ -18,7 +18,7 @@ from dasemanticsegmentationaml_tpu.parallel import (
     shard_batch,
     make_sharded_train_step,
 )
-from dasemanticsegmentationaml_tpu.parallel.mesh import tile_batch_stats
+from dasemanticsegmentationaml_tpu.parallel.mesh import per_replica_state
 from dasemanticsegmentationaml_tpu.train import create_train_state
 from dasemanticsegmentationaml_tpu.train.optim import make_optimizer
 
@@ -69,18 +69,10 @@ def test_sharded_sync_bn_step(setup):
 def test_sharded_per_replica_bn_step(setup):
     model, variables, opt, images, labels = setup
     mesh = create_mesh(8)
-    state = create_train_state(variables, opt)
-    state = state.replace(
-        batch_stats=tile_batch_stats(state.batch_stats, mesh))
-    state = state.replace(
-        params=jax.device_put(
-            state.params,
-            jax.sharding.NamedSharding(mesh,
-                                       jax.sharding.PartitionSpec())),
-        opt_state=jax.device_put(
-            state.opt_state,
-            jax.sharding.NamedSharding(mesh,
-                                       jax.sharding.PartitionSpec())))
+    # per_replica_state gives the donating step FRESH buffers; building
+    # this with raw device_put aliases the module fixture's arrays and
+    # the donation deletes them for every later test
+    state = per_replica_state(create_train_state(variables, opt), mesh)
     imgs, labs = shard_batch((images, labels), mesh)
 
     step = make_sharded_train_step(model, opt, mesh, sync_bn=False)
@@ -98,18 +90,10 @@ def test_sharded_per_replica_ohem_step(setup):
     OHEM loss (it used to silently fall back to plain CE)."""
     model, variables, opt, images, labels = setup
     mesh = create_mesh(8)
-    repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
 
     def fresh_state():
-        # copies: the step donates its state, and the fixture's variables
-        # are module-scoped
-        v = jax.tree.map(jnp.array, variables)
-        s = create_train_state(v, opt)
-        s = s.replace(
-            batch_stats=tile_batch_stats(s.batch_stats, mesh),
-            params=jax.device_put(s.params, repl),
-            opt_state=jax.device_put(s.opt_state, repl))
-        return s
+        # the step donates its state; per_replica_state owns fresh buffers
+        return per_replica_state(create_train_state(variables, opt), mesh)
 
     imgs, labs = shard_batch((images, labels), mesh)
     # a large LOSS threshold forces the top-keep_num branch (at random

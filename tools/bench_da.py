@@ -7,7 +7,7 @@ reference's 1024x512 resolution.  The loss readback serializes the chain
 Measured on v5e (batch 8+8): 113.4 img/s unfused -> 115.6 img/s with the
 fused upsample+CE aux heads (118.9 at batch 16+16).
 """
-import time, numpy as np, jax, jax.numpy as jnp
+import sys, time, numpy as np, jax, jax.numpy as jnp
 from dasemanticsegmentationaml_tpu.models import BiSeNet, build_discriminator
 from dasemanticsegmentationaml_tpu.models.bisenet import (
     init_bisenet_variables, unused_param_mask)
@@ -15,7 +15,8 @@ from dasemanticsegmentationaml_tpu.train import create_train_state
 from dasemanticsegmentationaml_tpu.train.adversarial import make_da_step
 from dasemanticsegmentationaml_tpu.train.optim import make_optimizer
 
-H, W, B, ITERS = 512, 1024, 8, 8
+H, W, ITERS = 512, 1024, 8
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 8  # source = target batch
 g_model = BiSeNet(n_classes=19, dtype=jnp.bfloat16)
 g_vars = init_bisenet_variables(g_model, jax.random.PRNGKey(0), (1, H, W, 3))
 d_model = build_discriminator(19, dtype=jnp.bfloat16)
