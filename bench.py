@@ -105,12 +105,14 @@ def bench_train_step(batch_size: int = 128, height: int = 512,
     return batch_size * iters / (time.perf_counter() - t0)
 
 
-def bench_da_step(batch_size: int = 16, height: int = 512,
+def bench_da_step(batch_size: int = 64, height: int = 512,
                   width: int = 1024, iters: int = 8) -> float:
     """Adversarial-DA 4-phase step throughput (tertiary metric).
 
-    Measured on v5e: 115.6 source img/s at batch 8+8, 118.9 at 16+16
-    (tools/bench_da.py protocol)."""
+    Measured on v5e (tools/bench_da.py protocol): 115.6 source img/s at
+    batch 8+8 (the reference's config), 118.9 at 16+16, 130.2 at 32+32,
+    136.0 at 64+64 (source+target = 128 images/step, the same pre-HBM-
+    cliff peak as the supervised step)."""
     from dasemanticsegmentationaml_tpu.models import (BiSeNet,
                                                       build_discriminator)
     from dasemanticsegmentationaml_tpu.models.bisenet import (
