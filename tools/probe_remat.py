@@ -2,7 +2,7 @@
 
 Measured context (CLAUDE.md): supervised step peaks at 653.6 img/s @ bs=128
 and REGRESSES to 506.7 @ bs=192 -- HBM pressure. Forward is only ~0.37
-ms/img of a ~1.5 ms/img step, so full forward remat trades <25%% extra
+ms/img of a ~1.5 ms/img step, so full forward remat trades <25% extra
 FLOPs for dropping almost all activation storage. If the cliff is
 activation residency, remat at bs>=192 should beat 507.
 
@@ -14,6 +14,11 @@ compile-service window):
 
 Times value_and_grad only (optimizer cost is ~0 per tools/ablate_train.py:
 grad 513.8 vs step 511.5 img/s @ bs=64).
+
+Measured (v5e, 2026-08-17): remat=full bs=192 -> 388.0 img/s, vs 506.7
+for the no-remat step at the same batch. Remat LOSES: the cliff is not
+activation residency (the inference-only path, which stores no
+activations, has the same cliff at bs=160). Rejected.
 """
 import sys
 import time
