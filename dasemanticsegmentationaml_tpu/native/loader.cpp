@@ -142,13 +142,15 @@ inline uint8_t clamp8(float v) {
 
 // Separable bilinear (triangle) resize, uint8 HWC.
 //
-// Planar float passes structured for auto-vectorization: the horizontal
-// pass is a contiguous dot product per output pixel, the vertical pass a
-// SAXPY over contiguous rows. Identity axes (in == out, e.g. the height
-// axis of the faithful 2048x1024 -> 512x1024 Cityscapes path) skip their
-// accumulation entirely. Accumulation order per output pixel (k ascending,
-// horizontal then vertical) matches the naive formulation, so results are
-// bit-identical to the previous scalar version.
+// Planar float passes: the horizontal pass is a contiguous dot product
+// per output pixel, the vertical pass a SAXPY over contiguous rows.
+// Identity axes (in == out, e.g. the height axis of the faithful
+// 2048x1024 -> 512x1024 Cityscapes path) skip their accumulation
+// entirely. Accumulation order per output pixel (k ascending, horizontal
+// then vertical) matches the naive interleaved formulation and
+// -ffp-contract=off forbids FMA contraction, so results are bit-identical
+// to the scalar version (verified; measured idle-core speed is ~equal
+// too -- the pass is memory-bound, see tools/bench_loader.py).
 void resize_bilinear(const uint8_t* src, int in_w, int in_h, int ch,
                      uint8_t* dst, int out_w, int out_h) {
   const bool id_x = (in_w == out_w);

@@ -240,6 +240,6 @@ def per_replica_state(state, mesh: Mesh, axis_name: str = DATA_AXIS):
     caller's arrays, and the step's ``donate_argnums`` would delete them
     out from under the caller (the ``replicate_state`` footgun).
     """
-    state = replicate_state(state, mesh)
-    return state.replace(
-        batch_stats=tile_batch_stats(state.batch_stats, mesh, axis_name))
+    tiled = tile_batch_stats(state.batch_stats, mesh, axis_name)
+    state = replicate_state(state.replace(batch_stats={}), mesh)
+    return state.replace(batch_stats=tiled)

@@ -5,7 +5,11 @@ reference's 1024x512 resolution.  The loss readback serializes the chain
 (see bench.py's protocol notes on async-dispatch runtimes).
 
 Measured on v5e (batch 8+8): 113.4 img/s unfused -> 115.6 img/s with the
-fused upsample+CE aux heads (118.9 at batch 16+16).
+fused upsample+CE aux heads. Batch sweep (source = target = argv[1],
+default 8): 118.9 @ 16+16, 130.2 @ 32+32, 136.0 @ 64+64 (=128
+images/step, the same pre-HBM-cliff peak as the supervised step).
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_da.py [B]
 """
 import sys, time, numpy as np, jax, jax.numpy as jnp
 from dasemanticsegmentationaml_tpu.models import BiSeNet, build_discriminator

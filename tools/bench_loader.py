@@ -12,6 +12,11 @@ measured TPU consumption rates (bench.py infer / BENCH_TRAIN). Noise
 PNGs compress worst-case, so decode numbers are conservative vs real
 Cityscapes frames.
 
+MEASUREMENT VALIDITY: run on an OTHERWISE-IDLE machine. This box has one
+CPU core; a concurrent pytest run inflated every number ~2x in early
+round-2 measurements (and unevenly, which briefly faked a resize
+speedup). Canonical idle-core numbers live in CLAUDE.md.
+
 Run (CPU-only, safe alongside chip jobs):
   PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
   PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_loader.py
@@ -37,7 +42,7 @@ OUT_HW = (512, 1024)        # reference crop_height/crop_width defaults
 N_IMAGES = 8
 
 # TPU consumption rates to compare against (CLAUDE.md measured numbers).
-RATES = {"train bs=128": 653.6, "infer bs=128": 2661.5}
+RATES = {"train bs=128": 653.6, "infer bs=128": 2664.0}
 
 
 def synth_frame(rng, structured: bool) -> np.ndarray:
