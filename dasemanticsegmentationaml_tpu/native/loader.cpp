@@ -97,7 +97,9 @@ bool decode(const char* path, bool gray, std::vector<uint8_t>& data, int& w,
 struct AxisCoeffs {
   std::vector<int> bounds_lo;  // first source index per output pixel
   std::vector<int> counts;     // number of taps
-  std::vector<float> weights;  // taps, row-major [out, kmax]
+  std::vector<double> weights;  // taps, row-major [out, kmax]; double all
+                                // the way to the fixed-point scaling, or
+                                // the 22-bit int coefficients lose a ulp
   int kmax = 0;
 };
 
@@ -109,7 +111,7 @@ AxisCoeffs triangle_coeffs(int in_size, int out_size) {
   c.kmax = static_cast<int>(std::ceil(support)) * 2 + 1;
   c.bounds_lo.resize(out_size);
   c.counts.resize(out_size);
-  c.weights.assign(static_cast<size_t>(out_size) * c.kmax, 0.0f);
+  c.weights.assign(static_cast<size_t>(out_size) * c.kmax, 0.0);
   for (int i = 0; i < out_size; i++) {
     double center = (i + 0.5) * scale;
     int lo = static_cast<int>(std::max(center - support + 0.5, 0.0));
@@ -130,83 +132,100 @@ AxisCoeffs triangle_coeffs(int in_size, int out_size) {
     c.counts[i] = n;
     for (int k = 0; k < n; k++) {
       c.weights[static_cast<size_t>(i) * c.kmax + k] =
-          static_cast<float>(ww[k] / total);
+          ww[k] / total;
     }
   }
   return c;
 }
 
-inline uint8_t clamp8(float v) {
-  return static_cast<uint8_t>(std::min(std::max(v + 0.5f, 0.0f), 255.0f));
+// Pillow Resample.c fixed-point parameters (8-bit path): coefficients
+// are rounded to ints scaled by 1 << PRECISION_BITS and accumulated in
+// int32 with a pre-added 0.5 ulp; each pass emits uint8. Reproducing
+// this EXACTLY (incl. the uint8 quantization between the horizontal and
+// vertical passes) makes the native loader bit-equal to PIL.Image.resize
+// -- the reference's actual data path (reference cityscapes.py:65-66).
+constexpr int kPrecisionBits = 32 - 8 - 2;
+
+inline uint8_t clip8(int32_t ss) {
+  ss >>= kPrecisionBits;
+  if (ss < 0) return 0;
+  if (ss > 255) return 255;
+  return static_cast<uint8_t>(ss);
 }
 
-// Separable bilinear (triangle) resize, uint8 HWC.
+// Round the normalized double taps to Pillow's int coefficients.
+std::vector<int32_t> int_coeffs(const AxisCoeffs& c, int out_size) {
+  std::vector<int32_t> kk(static_cast<size_t>(out_size) * c.kmax, 0);
+  for (size_t i = 0; i < kk.size(); i++) {
+    double w = c.weights[i] * (1 << kPrecisionBits);
+    kk[i] = static_cast<int32_t>(w < 0 ? w - 0.5 : w + 0.5);
+  }
+  return kk;
+}
+
+// Separable bilinear (triangle) resize, uint8 HWC -- Pillow-exact.
 //
-// Planar float passes: the horizontal pass is a contiguous dot product
-// per output pixel, the vertical pass a SAXPY over contiguous rows.
-// Identity axes (in == out, e.g. the height axis of the faithful
-// 2048x1024 -> 512x1024 Cityscapes path) skip their accumulation
-// entirely. Accumulation order per output pixel (k ascending, horizontal
-// then vertical) matches the naive interleaved formulation and
-// -ffp-contract=off forbids FMA contraction, so results are bit-identical
-// to the scalar version (verified; measured idle-core speed is ~equal
-// too -- the pass is memory-bound, see tools/bench_loader.py).
+// Two fixed-point passes with a uint8 intermediate, like Pillow's
+// ImagingResampleHorizontal_8bpc / Vertical_8bpc: horizontal first on
+// the full-height input, quantize to uint8, then vertical. Identity
+// axes (in == out, e.g. the height axis of the faithful 2048x1024 ->
+// 512x1024 Cityscapes path) skip their pass exactly as Pillow does
+// (the need_horizontal/need_vertical checks in ImagingResample).
+// Verified bit-equal to PIL.Image.resize(BILINEAR) in
+// tests/test_native.py.
 void resize_bilinear(const uint8_t* src, int in_w, int in_h, int ch,
                      uint8_t* dst, int out_w, int out_h) {
-  const bool id_x = (in_w == out_w);
-  const bool id_y = (in_h == out_h);
-  AxisCoeffs cx, cy;
-  if (!id_x) cx = triangle_coeffs(in_w, out_w);
-  if (!id_y) cy = triangle_coeffs(in_h, out_h);
+  const bool need_x = (in_w != out_w);
+  const bool need_y = (in_h != out_h);
+  const uint8_t* cur = src;
+  std::vector<uint8_t> tmp;
 
-  // horizontal pass -> planar float intermediate [ch][in_h][out_w]
-  std::vector<float> tmp(static_cast<size_t>(ch) * in_h * out_w);
-  std::vector<float> plane(in_w);
-  for (int y = 0; y < in_h; y++) {
-    const uint8_t* row = src + static_cast<size_t>(y) * in_w * ch;
-    for (int c = 0; c < ch; c++) {
-      for (int x = 0; x < in_w; x++) {
-        plane[x] = static_cast<float>(row[x * ch + c]);
-      }
-      float* trow =
-          tmp.data() + (static_cast<size_t>(c) * in_h + y) * out_w;
-      if (id_x) {
-        std::memcpy(trow, plane.data(), in_w * sizeof(float));
-        continue;
-      }
+  if (need_x) {
+    AxisCoeffs cx = triangle_coeffs(in_w, out_w);
+    std::vector<int32_t> kk = int_coeffs(cx, out_w);
+    uint8_t* out;
+    if (need_y) {
+      tmp.resize(static_cast<size_t>(in_h) * out_w * ch);
+      out = tmp.data();
+    } else {
+      out = dst;
+    }
+    for (int y = 0; y < in_h; y++) {
+      const uint8_t* row = cur + static_cast<size_t>(y) * in_w * ch;
+      uint8_t* orow = out + static_cast<size_t>(y) * out_w * ch;
       for (int x = 0; x < out_w; x++) {
-        const float* wv = &cx.weights[static_cast<size_t>(x) * cx.kmax];
-        const float* pv = plane.data() + cx.bounds_lo[x];
+        const int32_t* wv = &kk[static_cast<size_t>(x) * cx.kmax];
+        const uint8_t* pv = row + static_cast<size_t>(cx.bounds_lo[x]) * ch;
         int n = cx.counts[x];
-        float acc = 0.0f;
-        for (int k = 0; k < n; k++) acc += wv[k] * pv[k];
-        trow[x] = acc;
-      }
-    }
-  }
-  // vertical pass
-  std::vector<float> acc(out_w);
-  for (int y = 0; y < out_h; y++) {
-    uint8_t* drow = dst + static_cast<size_t>(y) * out_w * ch;
-    for (int c = 0; c < ch; c++) {
-      const float* base = tmp.data() + static_cast<size_t>(c) * in_h * out_w;
-      const float* arow;
-      if (id_y) {
-        arow = base + static_cast<size_t>(y) * out_w;
-      } else {
-        const float* wv = &cy.weights[static_cast<size_t>(y) * cy.kmax];
-        int lo = cy.bounds_lo[y];
-        int n = cy.counts[y];
-        std::fill(acc.begin(), acc.end(), 0.0f);
-        for (int k = 0; k < n; k++) {
-          const float* trow = base + static_cast<size_t>(lo + k) * out_w;
-          float w = wv[k];
-          for (int x = 0; x < out_w; x++) acc[x] += w * trow[x];
+        for (int c = 0; c < ch; c++) {
+          int32_t ss = 1 << (kPrecisionBits - 1);
+          for (int k = 0; k < n; k++) ss += wv[k] * pv[k * ch + c];
+          orow[x * ch + c] = clip8(ss);
         }
-        arow = acc.data();
       }
-      for (int x = 0; x < out_w; x++) drow[x * ch + c] = clamp8(arow[x]);
     }
+    cur = out;
+  }
+
+  if (need_y) {
+    AxisCoeffs cy = triangle_coeffs(in_h, out_h);
+    std::vector<int32_t> kk = int_coeffs(cy, out_h);
+    const int row_elems = out_w * ch;
+    for (int y = 0; y < out_h; y++) {
+      const int32_t* wv = &kk[static_cast<size_t>(y) * cy.kmax];
+      const uint8_t* base =
+          cur + static_cast<size_t>(cy.bounds_lo[y]) * row_elems;
+      int n = cy.counts[y];
+      uint8_t* drow = dst + static_cast<size_t>(y) * row_elems;
+      for (int x = 0; x < row_elems; x++) {
+        int32_t ss = 1 << (kPrecisionBits - 1);
+        for (int k = 0; k < n; k++)
+          ss += wv[k] * base[static_cast<size_t>(k) * row_elems + x];
+        drow[x] = clip8(ss);
+      }
+    }
+  } else if (!need_x) {
+    std::memcpy(dst, src, static_cast<size_t>(in_w) * in_h * ch);
   }
 }
 

@@ -34,16 +34,18 @@ def test_decode_native_size(png_pair):
     np.testing.assert_array_equal(outl, lab)
 
 
-@pytest.mark.parametrize("size", [(24, 16), (100, 80), (53, 37)])
-def test_bilinear_matches_pil_within_rounding(png_pair, size):
+@pytest.mark.parametrize("size", [(24, 16), (100, 80), (53, 37), (64, 90)])
+def test_bilinear_exact_vs_pil(png_pair, size):
+    """The native resize reproduces Pillow's fixed-point two-pass 8-bit
+    resample BIT-EXACTLY (Resample.c semantics: 22-bit int coefficients,
+    uint8 intermediate between the horizontal and vertical passes)."""
     from PIL import Image
 
     pi, _pl, _img, _lab = png_pair
     pil = np.asarray(Image.open(pi).convert("RGB").resize(size,
-                                                          Image.BILINEAR),
-                     np.int16)
-    nat = native.decode_resize(pi, size, "bilinear").astype(np.int16)
-    assert np.abs(pil - nat).max() <= 1  # PIL fixed-point vs float rounding
+                                                          Image.BILINEAR))
+    nat = native.decode_resize(pi, size, "bilinear")
+    np.testing.assert_array_equal(pil, nat)
 
 
 @pytest.mark.parametrize("size", [(24, 16), (100, 80)])
