@@ -168,10 +168,13 @@ def test_shipped_discriminator_golden_logits():
 
 # ------------------------------------------------------------ golden BiSeNet
 @requires_reference
-def test_bisenet_golden_logits_vs_reference(tmp_path):
+@pytest.mark.parametrize("use_conv_last", [False, True])
+def test_bisenet_golden_logits_vs_reference(tmp_path, use_conv_last):
     """End-to-end golden parity: random-init reference BiSeNet (torch CPU),
     warm its BN running stats, export, import into our model, compare eval
-    logits on a fixed input."""
+    logits on a fixed input. use_conv_last=True adds the backbone's 1x1
+    1024->1024 conv_last and moves ContextPath's conv_avg input
+    (reference stdcnet.py:126,191-192, model_stages.py:101-106)."""
     import torch
 
     sys.path.insert(0, REFERENCE_ROOT)
@@ -179,7 +182,7 @@ def test_bisenet_golden_logits_vs_reference(tmp_path):
 
     torch.manual_seed(0)
     tmodel = TorchBiSeNet(backbone="STDCNet813", n_classes=19,
-                          pretrain_model="", use_conv_last=False)
+                          pretrain_model="", use_conv_last=use_conv_last)
     # Warm BN running stats so eval mode exercises real statistics.
     rng = np.random.default_rng(1)
     with torch.no_grad():
@@ -197,7 +200,7 @@ def test_bisenet_golden_logits_vs_reference(tmp_path):
     p = str(tmp_path / "bisenet.pth")
     torch.save(tmodel.state_dict(), p)
 
-    jmodel = BiSeNet(n_classes=19)
+    jmodel = BiSeNet(n_classes=19, use_conv_last=use_conv_last)
     variables = init_bisenet_variables(jmodel, jax.random.PRNGKey(0),
                                        (1, 64, 128, 3))
     new_vars, report = load_pretrained(variables, p)
