@@ -153,9 +153,10 @@ def bench_da_step(batch_size: int = 64, height: int = 512,
 def main():
     backend = jax.default_backend()
     # batch 128 measured best on v5e: 16/32 ~40% lower, 64 = 1944,
-    # 128 = 2664, 160 = 1981 (HBM cliff right after 128), 256 worse
-    # still. Single point keeps the bench well inside the driver's
-    # budget despite ~2 min remote compiles per program.
+    # 128 = 2664, 144 = 1987, 160 = 1981 (the HBM cliff is a step
+    # function right after 128), 256 worse still. Single point keeps
+    # the bench well inside the driver's budget despite ~2 min remote
+    # compiles per program.
     batches = [128] if backend == "tpu" else [2]
     best, best_bs = 0.0, batches[0]
     for bs in batches:
