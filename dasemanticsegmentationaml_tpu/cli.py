@@ -229,10 +229,26 @@ def main(argv=None, report_fn=None):
 
     if args.domain_shift:
         # eval-only mode (reference train.py:511,519)
-        class _S:  # minimal state shim
-            params = variables["params"]
-            batch_stats = variables.get("batch_stats", {})
-        precision, miou = evaluate_fn_of(_S)
+        eval_model = model
+        eval_vars = {"params": variables["params"],
+                     "batch_stats": variables.get("batch_stats", {})}
+        if args.quantize_int8:
+            # opt-in int8 PTQ (ops/quantize.py): calibrate activation
+            # scales on the first --calib_batches val batches (eval mode),
+            # fold BN, and run the s8xs8->s32 inference path.
+            import itertools
+
+            from .ops.quantize import quantize_model
+            calib = [prepare_val(b)[0] for b in
+                     itertools.islice(iter(loader_val), args.calib_batches)]
+            eval_model, eval_vars = quantize_model(eval_model, eval_vars,
+                                                   calib)
+        precision, miou = evaluate(
+            eval_model, eval_vars, loader_val, n_classes,
+            prepare=lambda b: prepare_val(b),
+            use_fused_kernel=(args.use_fused_eval
+                              and jax.default_backend() == "tpu"),
+            scan_window=args.eval_scan_window)
         return {"precision": precision, "miou": miou}
 
     if args.domain_adaptation:

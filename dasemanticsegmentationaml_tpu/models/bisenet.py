@@ -27,6 +27,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.norm import BatchNorm
+from ..ops.quantize import (check_quant_mode, declare_quant_variables,
+                            quantized_conv_call, record_input_absmax)
 from ..ops.resize import resize_bilinear_align_corners, upsample_nearest
 from .stdcnet import STDCNet813, conv_precision
 
@@ -40,8 +42,10 @@ class ConvBNReLU(nn.Module):
     padding: int = 1
     dtype: Any = jnp.float32
     bn_axis_name: Any = None
+    quant_mode: str = "off"
 
     def setup(self):
+        check_quant_mode(self.quant_mode)
         p = self.padding
         self.conv = nn.Conv(
             features=self.out_chan,
@@ -54,8 +58,19 @@ class ConvBNReLU(nn.Module):
             precision=conv_precision(self.dtype),
         )
         self.bn = BatchNorm(dtype=self.dtype, axis_name=self.bn_axis_name)
+        self.quant_vars = declare_quant_variables(self)
 
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        if self.quant_mode == "int8":
+            if train:
+                raise ValueError("int8 quant_mode is inference-only")
+            if self.quant_vars is not None:  # None = filtered out -> fp
+                return quantized_conv_call(self.quant_vars, x,
+                                           stride=self.stride,
+                                           padding=self.padding,
+                                           dtype=self.dtype)
+        if self.quant_mode == "calib" and not train:
+            record_input_absmax(self.quant_vars, x)
         return nn.relu(self.bn(self.conv(x), use_running_average=not train))
 
 
@@ -66,10 +81,12 @@ class BiSeNetOutput(nn.Module):
     n_classes: int
     dtype: Any = jnp.float32
     bn_axis_name: Any = None
+    quant_mode: str = "off"
 
     def setup(self):
         self.conv = ConvBNReLU(self.mid_chan, ks=3, stride=1, padding=1,
-                               dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+                               dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                               quant_mode=self.quant_mode)
         self.conv_out = nn.Conv(
             features=self.n_classes, kernel_size=(1, 1), use_bias=False,
             dtype=self.dtype, param_dtype=jnp.float32,
@@ -87,10 +104,12 @@ class AttentionRefinementModule(nn.Module):
     out_chan: int
     dtype: Any = jnp.float32
     bn_axis_name: Any = None
+    quant_mode: str = "off"
 
     def setup(self):
         self.conv = ConvBNReLU(self.out_chan, ks=3, stride=1, padding=1,
-                               dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+                               dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                               quant_mode=self.quant_mode)
         self.conv_atten = nn.Conv(
             features=self.out_chan, kernel_size=(1, 1), use_bias=False,
             dtype=self.dtype, param_dtype=jnp.float32,
@@ -115,6 +134,7 @@ class ContextPath(nn.Module):
     use_conv_last: bool = False
     dtype: Any = jnp.float32
     bn_axis_name: Any = None
+    quant_mode: str = "off"
 
     def setup(self):
         # Reference ignores the backbone arg (model_stages.py:98). We accept
@@ -122,7 +142,8 @@ class ContextPath(nn.Module):
         if self.backbone_name not in ("STDCNet813", "CatmodelSmall",
                                       "CatNetSmall", "STDC1"):
             raise ValueError(f"unsupported backbone {self.backbone_name}")
-        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                  quant_mode=self.quant_mode)
         self.backbone = STDCNet813(use_conv_last=self.use_conv_last, **kw)
         inplanes = 1024
         self.arm16 = AttentionRefinementModule(128, **kw)
@@ -161,11 +182,13 @@ class FeatureFusionModule(nn.Module):
     out_chan: int
     dtype: Any = jnp.float32
     bn_axis_name: Any = None
+    quant_mode: str = "off"
 
     def setup(self):
         self.convblk = ConvBNReLU(self.out_chan, ks=1, stride=1, padding=0,
                                   dtype=self.dtype,
-                                  bn_axis_name=self.bn_axis_name)
+                                  bn_axis_name=self.bn_axis_name,
+                                  quant_mode=self.quant_mode)
         self.conv1 = nn.Conv(features=self.out_chan // 4, kernel_size=(1, 1),
                              use_bias=False, dtype=self.dtype,
                              param_dtype=jnp.float32,
@@ -202,9 +225,11 @@ class BiSeNet(nn.Module):
     use_conv_last: bool = False
     dtype: Any = jnp.float32
     bn_axis_name: Any = None
+    quant_mode: str = "off"
 
     def setup(self):
-        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                  quant_mode=self.quant_mode)
         self.cp = ContextPath(backbone_name=self.backbone_name,
                               use_conv_last=self.use_conv_last, **kw)
         self.ffm = FeatureFusionModule(256, **kw)

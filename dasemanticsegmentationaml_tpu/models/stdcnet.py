@@ -35,6 +35,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.norm import BatchNorm
+from ..ops.quantize import (check_quant_mode, declare_quant_variables,
+                            quantized_conv_call, record_input_absmax)
 
 
 def conv_precision(dtype) -> Any:
@@ -97,20 +99,38 @@ def avg_pool_3x3_s2(x: jax.Array) -> jax.Array:
 
 
 class ConvX(nn.Module):
-    """conv-BN-ReLU block (reference stdcnet.py:6-15)."""
+    """conv-BN-ReLU block (reference stdcnet.py:6-15).
+
+    ``quant_mode`` (opt-in int8 PTQ, ops/quantize.py): "off" is the
+    parity path; "calib" records input absmax; "int8" runs the folded
+    s8xs8->s32 conv + fp32 epilogue (eval only).
+    """
 
     out_planes: int
     kernel: int = 3
     stride: int = 1
     dtype: Any = jnp.float32
     bn_axis_name: Any = None
+    quant_mode: str = "off"
 
     def setup(self):
+        check_quant_mode(self.quant_mode)
         self.conv = _conv(self.out_planes, self.kernel, self.stride,
                           dtype=self.dtype)
         self.bn = BatchNorm(dtype=self.dtype, axis_name=self.bn_axis_name)
+        self.quant_vars = declare_quant_variables(self)
 
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        if self.quant_mode == "int8":
+            if train:
+                raise ValueError("int8 quant_mode is inference-only")
+            if self.quant_vars is not None:  # None = filtered out -> fp
+                return quantized_conv_call(self.quant_vars, x,
+                                           stride=self.stride,
+                                           padding=self.kernel // 2,
+                                           dtype=self.dtype)
+        if self.quant_mode == "calib" and not train:
+            record_input_absmax(self.quant_vars, x)
         x = self.conv(x)
         x = self.bn(x, use_running_average=not train)
         return nn.relu(x)
@@ -147,6 +167,7 @@ class CatBottleneck(nn.Module):
     stride: int = 1
     dtype: Any = jnp.float32
     bn_axis_name: Any = None
+    quant_mode: str = "off"
 
     def setup(self):
         assert self.block_num > 1, "block number should be larger than 1."
@@ -159,7 +180,8 @@ class CatBottleneck(nn.Module):
             # avd_layer (reference stdcnet.py:72-79).
             s = 1
             convs.append(ConvX(out_c, kernel=kernel, stride=s,
-                               dtype=self.dtype, bn_axis_name=self.bn_axis_name))
+                               dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                               quant_mode=self.quant_mode))
         self.conv_list = convs
         if self.stride == 2:
             half = self.out_planes // 2
@@ -192,6 +214,7 @@ class AddBottleneck(nn.Module):
     stride: int = 1
     dtype: Any = jnp.float32
     bn_axis_name: Any = None
+    quant_mode: str = "off"
 
     def setup(self):
         assert self.block_num > 1, "block number should be larger than 1."
@@ -200,7 +223,8 @@ class AddBottleneck(nn.Module):
         for idx, (_, out_c) in enumerate(chans):
             kernel = 1 if idx == 0 else 3
             convs.append(ConvX(out_c, kernel=kernel, stride=1,
-                               dtype=self.dtype, bn_axis_name=self.bn_axis_name))
+                               dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                               quant_mode=self.quant_mode))
         self.conv_list = convs
         if self.stride == 2:
             half = self.out_planes // 2
@@ -248,13 +272,15 @@ class STDCNet813(nn.Module):
     use_conv_last: bool = False
     dtype: Any = jnp.float32
     bn_axis_name: Any = None
+    quant_mode: str = "off"
 
     def setup(self):
         if self.block_type not in ("cat", "add"):
             raise ValueError(f"unknown block type {self.block_type}")
         is_cat = self.block_type == "cat"
         base = self.base
-        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                  quant_mode=self.quant_mode)
 
         def block(in_c, out_c, stride):
             if is_cat:

@@ -19,8 +19,13 @@ from .metrics import (
 )
 from .schedules import (poly_lr, PolyLR, adjust_learning_rate,
                         adjust_learning_rate_D)
+from .quantize import (collect_calibration, build_quant_collection,
+                       quantize_model)
 
 __all__ = [
+    "collect_calibration",
+    "build_quant_collection",
+    "quantize_model",
     "BatchNorm",
     "resize_bilinear_align_corners",
     "resize_nearest",

@@ -109,6 +109,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="batches per device-side lax.scan eval dispatch "
                         "(0/1 = one dispatch per batch); cuts tunnel "
                         "round trips on TPU")
+    p.add_argument("--quantize_int8", type=str2bool, default=False,
+                   help="int8 PTQ for --domain_shift eval (TPU-native "
+                        "extension, ops/quantize.py): fold BN, per-channel "
+                        "int8 weights, activation scales calibrated on "
+                        "--calib_batches val batches")
+    p.add_argument("--calib_batches", type=int, default=4,
+                   help="val batches used to calibrate --quantize_int8 "
+                        "activation scales")
     p.add_argument("--resume", type=str, default=None,
                    help="orbax checkpoint dir to resume full train state")
     p.add_argument("--jsonl_log", type=str, default=None,

@@ -146,6 +146,17 @@ def test_cli_domain_shift_eval(tmp_path):
     assert 0.0 <= result["miou"] <= 1.0
 
 
+def test_cli_domain_shift_eval_quantized_int8(tmp_path):
+    """--quantize_int8: eval-only int8 PTQ path (TPU-native extension)."""
+    root = str(tmp_path / "cs")
+    _mk_cityscapes(root, "val", n=2)
+    result = cli.main(COMMON + [
+        "--root", root, "--domain_shift", "True",
+        "--quantize_int8", "True", "--calib_batches", "2",
+    ])
+    assert 0.0 <= result["miou"] <= 1.0
+
+
 def test_cli_domain_adaptation(tmp_path):
     cs_root = str(tmp_path / "cs")
     gta_root = str(tmp_path / "gta")
