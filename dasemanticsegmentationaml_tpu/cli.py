@@ -238,11 +238,12 @@ def main(argv=None, report_fn=None):
             # fold BN, and run the s8xs8->s32 inference path.
             import itertools
 
-            from .ops.quantize import quantize_model
+            from .ops.quantize import PRESET_FILTERS, quantize_model
             calib = [prepare_val(b)[0] for b in
                      itertools.islice(iter(loader_val), args.calib_batches)]
-            eval_model, eval_vars = quantize_model(eval_model, eval_vars,
-                                                   calib)
+            eval_model, eval_vars = quantize_model(
+                eval_model, eval_vars, calib,
+                filter_fn=PRESET_FILTERS[args.quantize_filter])
         precision, miou = evaluate(
             eval_model, eval_vars, loader_val, n_classes,
             prepare=lambda b: prepare_val(b),

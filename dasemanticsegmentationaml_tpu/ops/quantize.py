@@ -48,6 +48,23 @@ QUANT_COLLECTION = "quant"
 CALIB_COLLECTION = "quant_calib"
 _MODES = ("off", "calib", "int8")
 
+_HIGHRES = {"features_0", "features_1", "features_2", "features_3"}
+#: Named filter_fn presets for BiSeNet, measured on v5e at bs=128
+#: (tools/bench_int8.py; bf16 reference 2659.7 img/s):
+#:   head     2745.1 (+3.2%) -- the recommended default: the 3x3 256->256
+#:            main-head conv is MXU-bound and its input has a single
+#:            consumer, so XLA fuses the quantize into the producer
+#:   heads_cp 2722.2   all   2396.4   deep  2480.7   (concat/skip
+#:            fan-outs materialize bf16+int8 copies in HBM-bound stages)
+PRESET_FILTERS = {
+    "all": None,
+    "head": lambda p: p[0] == "conv_out",
+    "heads_cp": lambda p: not (p[0] == "cp" and p[1] == "backbone"),
+    "backbone": lambda p: p[0] == "cp" and p[1] == "backbone",
+    "deep": lambda p: not (p[0] == "cp" and p[1] == "backbone"
+                           and p[2] in _HIGHRES),
+}
+
 
 def check_quant_mode(mode: str) -> str:
     if mode not in _MODES:

@@ -117,6 +117,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--calib_batches", type=int, default=4,
                    help="val batches used to calibrate --quantize_int8 "
                         "activation scales")
+    p.add_argument("--quantize_filter", type=str, default="head",
+                   choices=["all", "head", "heads_cp", "backbone", "deep"],
+                   help="which layers --quantize_int8 quantizes "
+                        "(ops/quantize.py PRESET_FILTERS; 'head' measured "
+                        "fastest on v5e, the rest run bf16)")
     p.add_argument("--resume", type=str, default=None,
                    help="orbax checkpoint dir to resume full train state")
     p.add_argument("--jsonl_log", type=str, default=None,

@@ -144,6 +144,36 @@ def test_selective_quantization_filter():
     assert cos > 0.9995
 
 
+def test_preset_filters_partition_bisenet():
+    """PRESET_FILTERS (the --quantize_filter choices) resolve against the
+    real BiSeNet tree: 'head' picks exactly the main-head 3x3,
+    'backbone'/'heads_cp' partition all 35 blocks, 'deep' excludes the
+    high-res backbone stages."""
+    from dasemanticsegmentationaml_tpu.ops.quantize import PRESET_FILTERS
+
+    model = BiSeNet(n_classes=19, dtype=jnp.float32)
+    v = init_bisenet_variables(model, jax.random.PRNGKey(0), (1, 32, 64, 3))
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((1, 32, 64, 3)), jnp.float32)
+
+    def quantized_paths(filter_fn):
+        _, qv = quantize_model(model, v, [x], filter_fn=filter_fn)
+        flat = traverse_util.flatten_dict(qv["quant"])
+        return {p[:-1] for p in flat if p[-1] == "w_int8"}
+
+    sel = {name: quantized_paths(fn) for name, fn in PRESET_FILTERS.items()}
+    assert len(sel["all"]) == 35
+    assert sel["head"] == {("conv_out", "conv")}
+    # backbone + heads_cp partition the full set
+    assert sel["backbone"] | sel["heads_cp"] == sel["all"]
+    assert not sel["backbone"] & sel["heads_cp"]
+    # deep = all minus the four high-res backbone stages, and covers head
+    assert sel["head"] < sel["deep"] < sel["all"]
+    assert all(p[2] not in {"features_0", "features_1", "features_2",
+                            "features_3"}
+               for p in sel["deep"] if p[:2] == ("cp", "backbone"))
+
+
 def test_quant_mode_off_is_default_and_param_neutral():
     model = BiSeNet(n_classes=19, dtype=jnp.float32)
     assert model.quant_mode == "off"

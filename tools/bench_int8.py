@@ -17,9 +17,12 @@ filter_fn (the rest run the bf16 path):
             the post-128 HBM cliff lives there, where the extra int8
             boundary materializations hurt most
 
-Measured (v5e, bs=128; bf16 reference 2659.7 img/s): all = 2396.4.
+Measured (v5e, bs=128; bf16 reference 2659.7 img/s):
+  all 2396.4 (-10%)   head 2745.1 (+3.2%, best)   heads_cp 2722.2
+  deep 2480.7 -- only single-consumer boundaries win; concat/skip
+  fan-outs materialize bf16+int8 copies in the HBM-bound stages.
 
-Usage: PYTHONPATH=/root/repo:/root/.axon_site timeout 900 \
+Usage: PYTHONPATH=/root/repo:/root/.axon_site timeout 1800 \
     python tools/bench_int8.py [bs] [variant]
 """
 import sys
@@ -29,17 +32,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-CHAIN, REPS = 32, 3
+from dasemanticsegmentationaml_tpu.ops.quantize import (
+    PRESET_FILTERS as VARIANTS,
+)
 
-HIGHRES = {"features_0", "features_1", "features_2", "features_3"}
-VARIANTS = {
-    "all": None,
-    "head": lambda p: p[0] == "conv_out",
-    "heads_cp": lambda p: not (p[0] == "cp" and p[1] == "backbone"),
-    "backbone": lambda p: p[0] == "cp" and p[1] == "backbone",
-    "deep": lambda p: not (p[0] == "cp" and p[1] == "backbone"
-                           and p[2] in HIGHRES),
-}
+CHAIN, REPS = 32, 3
 
 
 def main():
