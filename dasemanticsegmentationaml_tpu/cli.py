@@ -244,6 +244,16 @@ def main(argv=None, report_fn=None):
             eval_model, eval_vars = quantize_model(
                 eval_model, eval_vars, calib,
                 filter_fn=PRESET_FILTERS[args.quantize_filter])
+        if args.export_model:
+            # serving artifact: frozen weights + eval forward, symbolic
+            # batch, portable cpu+tpu lowering (utils/export.py)
+            from .utils.export import export_inference
+            export_inference(eval_model, eval_vars,
+                             args.crop_height, args.crop_width,
+                             platforms=("cpu", "tpu"),
+                             path=args.export_model)
+            print(f"exported serving artifact: {args.export_model} "
+                  f"({os.path.getsize(args.export_model)} bytes)")
         precision, miou = evaluate(
             eval_model, eval_vars, loader_val, n_classes,
             prepare=lambda b: prepare_val(b),

@@ -122,6 +122,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="which layers --quantize_int8 quantizes "
                         "(ops/quantize.py PRESET_FILTERS; 'head' measured "
                         "fastest on v5e, the rest run bf16)")
+    p.add_argument("--export_model", type=str, default=None,
+                   help="with --domain_shift: also export the eval forward "
+                        "(incl. --quantize_int8 if set) as a serialized "
+                        "StableHLO serving artifact at this path "
+                        "(utils/export.py; symbolic batch dim, "
+                        "uint8-in/int32-labels-out, cpu+tpu)")
     p.add_argument("--resume", type=str, default=None,
                    help="orbax checkpoint dir to resume full train state")
     p.add_argument("--jsonl_log", type=str, default=None,

@@ -1,0 +1,101 @@
+"""Serialized serving artifacts for the inference path (jax.export).
+
+The reference "serves" by keeping the torch module code importable and
+unpickling state dicts into it (reference model_stages.py:252-258,
+train.py:511-519). TPU-native production serving wants an ahead-of-time
+artifact instead: ``export_inference`` freezes the trained weights into a
+versioned StableHLO module (``jax.export``) that any matching JAX runtime
+replays WITHOUT this package's model code on the serving host, and with a
+symbolic batch dimension so one artifact serves any batch size.
+
+The exported computation is the eval hot path (reference train.py:36-38):
+optional uint8 -> ImageNet-normalize preprocessing, model forward,
+bilinear align_corners upsample to input resolution, argmax -> int32
+label map. The upsample is the tap-matrix matmul formulation
+(ops/resize.py) -- pure XLA, no gathers, no Pallas custom calls -- so the
+artifact lowers for both 'tpu' and 'cpu' and stays free of
+platform-pinned custom calls. It composes with the opt-in int8 PTQ path
+(ops/quantize.py, also pure XLA): export the model returned by
+``quantize_model`` and the s8xs8->s32 convs bake into the artifact.
+
+Workflow::
+
+    exported = export_inference(model, variables, 512, 1024,
+                                path="bisenet.shlo")   # train host
+    serve = load_exported("bisenet.shlo")              # serving host
+    labels = serve(images_u8)                          # any batch size
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+from ..data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+
+
+def make_serving_fn(model, variables, preprocess: bool = True):
+    """Closure ``images -> int32 label map`` over frozen variables.
+
+    preprocess=True: input is raw uint8 NHWC (the decoded, resized frames
+    the host loader produces); /255 + ImageNet normalization runs inside
+    the artifact (mirrors data/pipeline.py::prepare_batch's eval path).
+    preprocess=False: input is already-normalized images in the model's
+    compute dtype (the tensors ``evaluate`` consumes).
+    """
+
+    def serve(images: jax.Array) -> jax.Array:
+        if preprocess:
+            x = images.astype(jnp.float32) / 255.0
+            x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+            x = x.astype(model.dtype)
+        else:
+            x = images
+        out, _out16, _out32 = model.apply(variables, x, train=False)
+        return jnp.argmax(out, axis=-1).astype(jnp.int32)
+
+    return serve
+
+
+def export_inference(model, variables, height: int, width: int,
+                     batch: Optional[int] = None,
+                     preprocess: bool = True,
+                     platforms: Optional[Sequence[str]] = None,
+                     path: Optional[str] = None) -> jax_export.Exported:
+    """Export the serving forward as a serialized StableHLO artifact.
+
+    batch=None exports a symbolic batch dimension ("b"): the single
+    artifact then serves any batch size (the spatial dims stay static --
+    TPU-friendly shapes, reference crop semantics). ``platforms`` defaults
+    to the current backend; pass ("cpu", "tpu") for a portable artifact.
+    Returns the ``jax.export.Exported``; also writes the serialized bytes
+    to ``path`` when given.
+    """
+    serve = make_serving_fn(model, variables, preprocess=preprocess)
+    if batch is None:
+        (b,) = jax_export.symbolic_shape("b")
+    else:
+        b = batch
+    in_dtype = jnp.uint8 if preprocess else model.dtype
+    spec = jax.ShapeDtypeStruct((b, height, width, 3), in_dtype)
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    exported = jax_export.export(jax.jit(serve), **kwargs)(spec)
+    if path is not None:
+        with open(path, "wb") as f:
+            f.write(exported.serialize())
+    return exported
+
+
+def load_exported(path: str):
+    """Deserialize an ``export_inference`` artifact into a callable.
+
+    The serving host needs jax (any backend the artifact was lowered
+    for) -- not this package's model code or the checkpoint."""
+    with open(path, "rb") as f:
+        exported = jax_export.deserialize(f.read())
+    return exported.call

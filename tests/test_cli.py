@@ -147,14 +147,24 @@ def test_cli_domain_shift_eval(tmp_path):
 
 
 def test_cli_domain_shift_eval_quantized_int8(tmp_path):
-    """--quantize_int8: eval-only int8 PTQ path (TPU-native extension)."""
+    """--quantize_int8 + --export_model: eval-only int8 PTQ path and the
+    serving-artifact export (TPU-native extensions)."""
     root = str(tmp_path / "cs")
     _mk_cityscapes(root, "val", n=2)
+    artifact = str(tmp_path / "model.shlo")
     result = cli.main(COMMON + [
         "--root", root, "--domain_shift", "True",
         "--quantize_int8", "True", "--calib_batches", "2",
+        "--export_model", artifact,
     ])
     assert 0.0 <= result["miou"] <= 1.0
+    # the artifact replays without model code or checkpoint
+    from dasemanticsegmentationaml_tpu.utils.export import load_exported
+    serve = load_exported(artifact)
+    imgs = np.random.default_rng(0).integers(
+        0, 256, (1, H, W, 3)).astype(np.uint8)
+    pred = np.asarray(serve(imgs))
+    assert pred.shape == (1, H, W) and pred.dtype == np.int32
 
 
 def test_cli_domain_adaptation(tmp_path):

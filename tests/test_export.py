@@ -1,0 +1,94 @@
+"""Serving artifacts (utils/export.py): serialized StableHLO inference.
+
+A TPU-native serving extension (the reference deploys by unpickling torch
+modules, model_stages.py:252-258): the eval forward exports via
+jax.export with a symbolic batch dimension and replays from the artifact
+alone -- no model code, no checkpoint -- with exact parity.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dasemanticsegmentationaml_tpu.models import BiSeNet
+from dasemanticsegmentationaml_tpu.models.bisenet import (
+    init_bisenet_variables,
+)
+from dasemanticsegmentationaml_tpu.utils.export import (
+    export_inference,
+    load_exported,
+    make_serving_fn,
+)
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    model = BiSeNet(n_classes=19, dtype=jnp.float32)
+    v = init_bisenet_variables(model, jax.random.PRNGKey(0), (1, 32, 64, 3))
+    return model, v
+
+
+def test_export_roundtrip_symbolic_batch(small_model, tmp_path):
+    """One artifact serves multiple batch sizes, bit-exact vs the live
+    closure, uint8 in / int32 label map out."""
+    model, v = small_model
+    path = str(tmp_path / "m.shlo")
+    exported = export_inference(model, v, 32, 64, path=path)
+    assert exported.in_avals[0].shape[1:] == (32, 64, 3)
+    serve = load_exported(path)
+    live = make_serving_fn(model, v)
+    rng = np.random.default_rng(0)
+    for bs in (1, 3):
+        imgs = jnp.asarray(rng.integers(0, 256, (bs, 32, 64, 3)), jnp.uint8)
+        got = np.asarray(serve(imgs))
+        assert got.shape == (bs, 32, 64) and got.dtype == np.int32
+        np.testing.assert_array_equal(got, np.asarray(live(imgs)))
+
+
+def test_export_preprocess_matches_pipeline(small_model):
+    """preprocess=True bakes the eval pipeline's uint8 -> ImageNet
+    normalization (data/pipeline.py::prepare_batch) into the artifact."""
+    from dasemanticsegmentationaml_tpu.data.pipeline import prepare_batch
+
+    model, v = small_model
+    rng = np.random.default_rng(1)
+    imgs = jnp.asarray(rng.integers(0, 256, (2, 32, 64, 3)), jnp.uint8)
+    labels = jnp.zeros((2, 32, 64), jnp.uint8)
+    x, _ = prepare_batch(imgs, labels, dtype=jnp.float32)
+
+    baked = make_serving_fn(model, v, preprocess=True)(imgs)
+    raw = make_serving_fn(model, v, preprocess=False)(x)
+    np.testing.assert_array_equal(np.asarray(baked), np.asarray(raw))
+
+
+def test_export_quantized_model(small_model, tmp_path):
+    """The int8 PTQ path is pure XLA, so a quantized model exports and
+    replays exactly."""
+    from dasemanticsegmentationaml_tpu.ops.quantize import (
+        PRESET_FILTERS, quantize_model)
+
+    model, v = small_model
+    rng = np.random.default_rng(2)
+    calib = [jnp.asarray(rng.standard_normal((1, 32, 64, 3)), jnp.float32)]
+    qm, qv = quantize_model(model, v, calib,
+                            filter_fn=PRESET_FILTERS["head"])
+    path = str(tmp_path / "mq.shlo")
+    export_inference(qm, qv, 32, 64, path=path)
+    serve = load_exported(path)
+    imgs = jnp.asarray(rng.integers(0, 256, (2, 32, 64, 3)), jnp.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(serve(imgs)),
+        np.asarray(make_serving_fn(qm, qv)(imgs)))
+
+
+def test_export_multiplatform_lowering(small_model):
+    """A ('cpu','tpu') artifact lowers from a CPU host (no Pallas custom
+    calls on the exported path -- the upsample is the tap-matrix matmul,
+    ops/resize.py)."""
+    model, v = small_model
+    exported = export_inference(model, v, 32, 64, batch=2,
+                                platforms=("cpu", "tpu"))
+    assert exported.platforms == ("cpu", "tpu")
+    mod = exported.mlir_module()
+    assert "stablehlo" in mod and "tpu_custom_call" not in mod
