@@ -1,0 +1,111 @@
+"""Serving runner: replay an exported artifact over a directory of images.
+
+Completes the deployment story (utils/export.py): the serving host runs
+
+    python -m dasemanticsegmentationaml_tpu.serve model.shlo \
+        --images <dir> --output <dir> [--batch_size 8] [--color]
+
+with only the artifact -- no checkpoint, no model code on the hot path.
+Images decode + resize through the native C++ loader
+(data/transforms_host.py), batch, and run through the artifact; each
+image writes ``<stem>_trainIds.png`` (the reference's trainId encoding,
+cityscapes gtFine convention) and, with ``--color``, ``<stem>_color.png``
+using the Cityscapes train-id palette (data/labels.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from .data.transforms_host import load_image
+from .utils.export import read_exported
+
+_EXTS = (".png", ".jpg", ".jpeg")
+
+
+def list_images(root: str) -> List[str]:
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        out.extend(os.path.join(dirpath, f) for f in files
+                   if f.lower().endswith(_EXTS))
+    return sorted(out)
+
+
+def run(artifact: str, images_dir: str, output_dir: str,
+        batch_size: int = 8, color: bool = False,
+        faithful_resize: bool = False) -> dict:
+    exported = read_exported(artifact)
+    b, h, w, c = exported.in_avals[0].shape
+    if c != 3 or exported.in_avals[0].dtype != np.uint8:
+        raise SystemExit(
+            "artifact must take uint8 NHWC images (export_inference "
+            f"preprocess=True); got {exported.in_avals[0]}")
+    static_batch: Optional[int] = b if isinstance(b, int) else None
+    if static_batch is not None:
+        batch_size = static_batch
+
+    paths = list_images(images_dir)
+    if not paths:
+        raise SystemExit(f"no images under {images_dir}")
+    os.makedirs(output_dir, exist_ok=True)
+
+    from PIL import Image
+
+    palette = None
+    if color:
+        from .data.labels import train_id_colors
+
+        # index 19 = the palette's void/black entry; predictions are
+        # always in [0, 19) so only train-id colors are ever used
+        palette = train_id_colors()
+
+    n_done, t0 = 0, time.perf_counter()
+    for start in range(0, len(paths), batch_size):
+        chunk = paths[start:start + batch_size]
+        frames = np.stack([load_image(p, (h, w), faithful_resize)
+                           for p in chunk])
+        if static_batch is not None and len(chunk) < static_batch:
+            pad = np.zeros((static_batch - len(chunk), h, w, 3), np.uint8)
+            frames = np.concatenate([frames, pad])
+        preds = np.asarray(exported.call(frames))[:len(chunk)]
+        for path, pred in zip(chunk, preds):
+            stem = os.path.splitext(os.path.basename(path))[0]
+            Image.fromarray(pred.astype(np.uint8), mode="L").save(
+                os.path.join(output_dir, f"{stem}_trainIds.png"))
+            if palette is not None:
+                Image.fromarray(palette[pred]).save(
+                    os.path.join(output_dir, f"{stem}_color.png"))
+        n_done += len(chunk)
+    dt = time.perf_counter() - t0
+    print(f"served {n_done} images in {dt:.2f}s "
+          f"({n_done / dt:.1f} img/s incl. decode+IO)")
+    return {"images": n_done, "seconds": dt}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description="run an exported serving artifact over a directory")
+    p.add_argument("artifact", help="path from --export_model / "
+                                    "utils.export.export_inference")
+    p.add_argument("--images", required=True, help="directory of images")
+    p.add_argument("--output", required=True, help="output directory")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--color", action="store_true",
+                   help="also write palette-colorized predictions")
+    p.add_argument("--faithful_resize", action="store_true",
+                   help="reproduce the reference's transposed PIL resize "
+                        "(cityscapes.py:22; only valid for square inputs "
+                        "at serving time)")
+    args = p.parse_args(argv)
+    return run(args.artifact, args.images, args.output,
+               batch_size=args.batch_size, color=args.color,
+               faithful_resize=args.faithful_resize)
+
+
+if __name__ == "__main__":
+    main()

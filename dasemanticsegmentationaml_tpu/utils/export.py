@@ -91,11 +91,16 @@ def export_inference(model, variables, height: int, width: int,
     return exported
 
 
+def read_exported(path: str) -> jax_export.Exported:
+    """Deserialize an ``export_inference`` artifact (shape/dtype metadata
+    in ``.in_avals``, execution via ``.call``)."""
+    with open(path, "rb") as f:
+        return jax_export.deserialize(f.read())
+
+
 def load_exported(path: str):
     """Deserialize an ``export_inference`` artifact into a callable.
 
     The serving host needs jax (any backend the artifact was lowered
     for) -- not this package's model code or the checkpoint."""
-    with open(path, "rb") as f:
-        exported = jax_export.deserialize(f.read())
-    return exported.call
+    return read_exported(path).call

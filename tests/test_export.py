@@ -82,6 +82,45 @@ def test_export_quantized_model(small_model, tmp_path):
         np.asarray(make_serving_fn(qm, qv)(imgs)))
 
 
+def test_serve_runner_end_to_end(small_model, tmp_path):
+    """python -m dasemanticsegmentationaml_tpu.serve: artifact + image dir
+    -> trainId and colorized PNGs, predictions matching the live model."""
+    from PIL import Image
+
+    from dasemanticsegmentationaml_tpu import serve
+    from dasemanticsegmentationaml_tpu.data.transforms_host import (
+        load_image,
+    )
+
+    model, v = small_model
+    path = str(tmp_path / "m.shlo")
+    export_inference(model, v, 32, 64, path=path)
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(3)
+    for i in range(3):  # 3 images, batch 2 -> exercises the tail batch
+        Image.fromarray(rng.integers(0, 256, (48, 80, 3), dtype=np.uint8)
+                        ).save(img_dir / f"f{i}.png")
+    out_dir = tmp_path / "out"
+
+    stats = serve.main([path, "--images", str(img_dir), "--output",
+                        str(out_dir), "--batch_size", "2", "--color"])
+    assert stats["images"] == 3
+
+    live = make_serving_fn(model, v)
+    from dasemanticsegmentationaml_tpu.data.labels import train_id_colors
+    palette = train_id_colors()
+    for i in range(3):
+        pred = np.asarray(Image.open(out_dir / f"f{i}_trainIds.png"))
+        frame = load_image(str(img_dir / f"f{i}.png"), (32, 64),
+                           faithful_resize=False)
+        want = np.asarray(live(frame[None]))[0]
+        np.testing.assert_array_equal(pred, want)
+        colored = np.asarray(Image.open(out_dir / f"f{i}_color.png"))
+        np.testing.assert_array_equal(colored, palette[pred])
+
+
 def test_export_multiplatform_lowering(small_model):
     """A ('cpu','tpu') artifact lowers from a CPU host (no Pallas custom
     calls on the exported path -- the upsample is the tap-matrix matmul,
