@@ -246,14 +246,20 @@ def main(argv=None, report_fn=None):
                 filter_fn=PRESET_FILTERS[args.quantize_filter])
         if args.export_model:
             # serving artifact: frozen weights + eval forward, symbolic
-            # batch, portable cpu+tpu lowering (utils/export.py)
+            # batch (utils/export.py). With the fused eval kernel active
+            # the artifact embeds it (tpu-only, the measured-best path);
+            # otherwise it lowers portably for cpu+tpu.
             from .utils.export import export_inference
+            fused = (args.use_fused_eval
+                     and jax.default_backend() == "tpu")
             export_inference(eval_model, eval_vars,
                              args.crop_height, args.crop_width,
-                             platforms=("cpu", "tpu"),
+                             use_fused_kernel=fused,
+                             platforms=None if fused else ("cpu", "tpu"),
                              path=args.export_model)
             print(f"exported serving artifact: {args.export_model} "
-                  f"({os.path.getsize(args.export_model)} bytes)")
+                  f"({os.path.getsize(args.export_model)} bytes, "
+                  f"{'tpu-only fused' if fused else 'cpu+tpu'})")
         precision, miou = evaluate(
             eval_model, eval_vars, loader_val, n_classes,
             prepare=lambda b: prepare_val(b),

@@ -206,12 +206,14 @@ def _pallas_call(logits_t: jax.Array, out_hw: Tuple[int, int],
         in_specs=in_specs,
         out_specs=out_spec,
     )
+    # the cost hint is ints-only: drop it when b is a symbolic batch dim
+    # (jax.export shape polymorphism, utils/export.py fused artifacts)
     cost = pl.CostEstimate(
         flops=n_passes * 2 * b * out_h * c * w * (h // 8 + out_w),
         bytes_accessed=b * (h * c * w * 4 + out_h * out_w * 4)
         + (out_h * h + w * out_w) * 4,
         transcendentals=0,
-    )
+    ) if isinstance(b, int) else None
     extra = {}
     if parallel_grid and not interpret:
         # both grid dims are independent; lets Mosaic multi-buffer blocks

@@ -37,7 +37,8 @@ from jax import export as jax_export
 from ..data.pipeline import IMAGENET_MEAN, IMAGENET_STD
 
 
-def make_serving_fn(model, variables, preprocess: bool = True):
+def make_serving_fn(model, variables, preprocess: bool = True,
+                    use_fused_kernel: bool = False):
     """Closure ``images -> int32 label map`` over frozen variables.
 
     preprocess=True: input is raw uint8 NHWC (the decoded, resized frames
@@ -45,6 +46,10 @@ def make_serving_fn(model, variables, preprocess: bool = True):
     the artifact (mirrors data/pipeline.py::prepare_batch's eval path).
     preprocess=False: input is already-normalized images in the model's
     compute dtype (the tensors ``evaluate`` consumes).
+
+    use_fused_kernel=True routes the upsample+argmax through the Pallas
+    kernel (ops/pallas/upsample_argmax.py) -- the measured-best TPU eval
+    path -- which pins the artifact to the 'tpu' platform.
     """
 
     def serve(images: jax.Array) -> jax.Array:
@@ -54,6 +59,14 @@ def make_serving_fn(model, variables, preprocess: bool = True):
             x = x.astype(model.dtype)
         else:
             x = images
+        if use_fused_kernel:
+            from ..ops.pallas import upsample_argmax
+
+            feat, _f16, _f32 = model.apply(variables, x, train=False,
+                                           method=type(model).features)
+            # force='pallas' so the kernel lowers even when the EXPORTING
+            # host is CPU (the artifact targets 'tpu' regardless)
+            return upsample_argmax(feat, x.shape[1:3], force="pallas")
         out, _out16, _out32 = model.apply(variables, x, train=False)
         return jnp.argmax(out, axis=-1).astype(jnp.int32)
 
@@ -63,6 +76,7 @@ def make_serving_fn(model, variables, preprocess: bool = True):
 def export_inference(model, variables, height: int, width: int,
                      batch: Optional[int] = None,
                      preprocess: bool = True,
+                     use_fused_kernel: bool = False,
                      platforms: Optional[Sequence[str]] = None,
                      path: Optional[str] = None) -> jax_export.Exported:
     """Export the serving forward as a serialized StableHLO artifact.
@@ -71,10 +85,18 @@ def export_inference(model, variables, height: int, width: int,
     artifact then serves any batch size (the spatial dims stay static --
     TPU-friendly shapes, reference crop semantics). ``platforms`` defaults
     to the current backend; pass ("cpu", "tpu") for a portable artifact.
+    use_fused_kernel=True embeds the Pallas upsample+argmax kernel (the
+    measured-best TPU eval path) and forces platforms=("tpu",).
     Returns the ``jax.export.Exported``; also writes the serialized bytes
     to ``path`` when given.
     """
-    serve = make_serving_fn(model, variables, preprocess=preprocess)
+    if use_fused_kernel:
+        if platforms is not None and tuple(platforms) != ("tpu",):
+            raise ValueError("use_fused_kernel artifacts are tpu-only "
+                             f"(Mosaic custom call); got {platforms}")
+        platforms = ("tpu",)
+    serve = make_serving_fn(model, variables, preprocess=preprocess,
+                            use_fused_kernel=use_fused_kernel)
     if batch is None:
         (b,) = jax_export.symbolic_shape("b")
     else:

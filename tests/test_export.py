@@ -131,3 +131,24 @@ def test_export_multiplatform_lowering(small_model):
     assert exported.platforms == ("cpu", "tpu")
     mod = exported.mlir_module()
     assert "stablehlo" in mod and "tpu_custom_call" not in mod
+
+
+def test_export_fused_kernel_tpu_only(small_model, tmp_path):
+    """use_fused_kernel embeds the Pallas upsample+argmax (the
+    measured-best TPU eval path) as a Mosaic custom call; the artifact is
+    pinned to 'tpu' and still lowers + serializes from a CPU host."""
+    model, v = small_model
+    path = str(tmp_path / "mf.shlo")
+    exported = export_inference(model, v, 32, 64, use_fused_kernel=True,
+                                path=path)
+    assert exported.platforms == ("tpu",)
+    assert "tpu_custom_call" in exported.mlir_module()
+    # round-trips through serialization with metadata intact
+    from dasemanticsegmentationaml_tpu.utils.export import read_exported
+    again = read_exported(path)
+    assert again.platforms == ("tpu",)
+    assert again.in_avals[0].shape[1:] == (32, 64, 3)
+
+    with pytest.raises(ValueError, match="tpu-only"):
+        export_inference(model, v, 32, 64, use_fused_kernel=True,
+                         platforms=("cpu", "tpu"))
