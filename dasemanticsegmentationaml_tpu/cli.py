@@ -270,9 +270,6 @@ def main(argv=None, report_fn=None):
 
     if args.domain_adaptation:
         # reference train_DA (train.py:134-299)
-        if not args.sync_bn and n_dev > 1:
-            print("warning: --sync_bn False (per-replica BN) is wired for "
-                  "supervised training; the DA step runs global-batch BN")
         source_ds = GtaV(args.root_source, args.aug_type, args.crop_height,
                          args.crop_width,
                          faithful_resize=args.faithful_resize)
@@ -309,21 +306,55 @@ def main(argv=None, report_fn=None):
         g_state, args.epoch_start_i = maybe_resume(args, g_state)
         if args.resume:
             d_state, _ = maybe_resume(args, d_state, alias="latest_D1")
+        custom_da_step = None
+
+        def untile_da(s):
+            return s
+
         if n_dev > 1:
-            g_state = replicate_state(g_state, mesh)
-            d_state = replicate_state(d_state, mesh)
+            if args.sync_bn:
+                g_state = replicate_state(g_state, mesh)
+                d_state = replicate_state(d_state, mesh)
+            else:
+                # Reference-faithful per-replica BN for BOTH G and D
+                # (the reference wraps both in DataParallel,
+                # train.py:145-152): local BN stats per shard, grads
+                # pmean'd each phase. Export/eval take shard 0.
+                from .parallel.mesh import (make_sharded_da_step,
+                                            per_replica_state)
+
+                if args.batch_size % data_div:
+                    raise SystemExit(
+                        f"--sync_bn False needs --batch_size "
+                        f"{args.batch_size} divisible by the data-mesh "
+                        f"size {data_div} (shard_map shards the batch)")
+                g_state = per_replica_state(g_state, mesh)
+                d_state = per_replica_state(d_state, mesh)
+                custom_da_step = make_sharded_da_step(
+                    model, d_model, g_opt, d_opt, mesh,
+                    lambda_adv=args.lambda_adv_target1,
+                    d_head=args.d_head, sync_bn=False)
+
+                def untile_da(s):
+                    return s.replace(batch_stats=jax.tree.map(
+                        lambda x: x[0], s.batch_stats))
 
         g_state, d_state, max_miou = train_da(
             args, model, d_model, g_state, d_state, g_opt, d_opt,
             loader_source, loader_target,
             prepare_source=make_prepare(args.aug_type, True),
             prepare_target=make_prepare(None, False),
-            evaluate_fn=evaluate_fn_of, writer=writer, logger=logger,
-            checkpoint_fn=checkpoint_fn, d_head=args.d_head,
-            profiler=profiler, report_fn=report_fn)
+            evaluate_fn=lambda s: evaluate_fn_of(untile_da(s)),
+            writer=writer, logger=logger,
+            checkpoint_fn=(None if checkpoint_fn is None else
+                           lambda s, name, **kw: checkpoint_fn(
+                               untile_da(s), name, **kw)),
+            d_head=args.d_head,
+            profiler=profiler, report_fn=report_fn,
+            da_step=custom_da_step)
         if profiler is not None:
             profiler.close()
-        precision, miou = evaluate_fn_of(g_state)
+        precision, miou = evaluate_fn_of(untile_da(g_state))
         return {"precision": precision, "miou": miou,
                 "max_miou": max_miou}
 

@@ -219,6 +219,63 @@ def make_sharded_train_step(model, optimizer, mesh: Mesh, *,
     return step
 
 
+def make_sharded_da_step(g_model, d_model, g_optimizer, d_optimizer,
+                         mesh: Mesh, *, lambda_adv: float,
+                         ignore_index: int = 255, d_head: int = 0,
+                         sync_bn: bool = True,
+                         axis_name: str = DATA_AXIS):
+    """Data-parallel adversarial-DA 4-phase step over the mesh.
+
+    sync_bn=True  -> the plain jitted step (train.adversarial.make_da_step)
+                     with replicated states + sharded batches: XLA SPMD
+                     computes global-batch BN and inserts the grad psums.
+    sync_bn=False -> DataParallel-faithful per-replica BN via shard_map:
+                     G and D running stats carry a leading device axis
+                     (per_replica_state), every phase normalizes with its
+                     LOCAL shard stats, and each phase's gradients are
+                     pmean'd -- the reference's nn.DataParallel semantics
+                     (train.py:145-152) where BN never syncs but grads
+                     reduce. Export/eval take shard 0 (untile), matching
+                     torch saving device 0's module.
+    """
+    from ..train.adversarial import make_da_step
+
+    if sync_bn:
+        # replicated states + mesh-sharded batches: the plain jitted step
+        # is already the right program -- XLA SPMD propagates the batch
+        # sharding and inserts the gradient psums (what cli.main runs
+        # today for multi-device DA)
+        return make_da_step(g_model, d_model, g_optimizer, d_optimizer,
+                            lambda_adv=lambda_adv,
+                            ignore_index=ignore_index, d_head=d_head)
+
+    raw = make_da_step(g_model, d_model, g_optimizer, d_optimizer,
+                       lambda_adv=lambda_adv, ignore_index=ignore_index,
+                       d_head=d_head, pmean_axis=axis_name, jit=False)
+
+    def local_step(g_state, d_state, src_i, src_l, tgt_i, lr_g, lr_d):
+        untile = functools.partial(jax.tree.map, lambda x: x[0])
+        g_local = g_state.replace(batch_stats=untile(g_state.batch_stats))
+        d_local = d_state.replace(batch_stats=untile(d_state.batch_stats))
+        new_g, new_d, metrics = raw(g_local, d_local, src_i, src_l, tgt_i,
+                                    lr_g, lr_d)
+        retile = functools.partial(jax.tree.map, lambda x: x[None])
+        return (new_g.replace(batch_stats=retile(new_g.batch_stats)),
+                new_d.replace(batch_stats=retile(new_d.batch_stats)),
+                metrics)
+
+    state_spec = TrainState(params=P(), batch_stats=P(axis_name),
+                            opt_state=P(), step=P())
+    smapped = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(state_spec, state_spec, P(axis_name), P(axis_name),
+                  P(axis_name), P(), P()),
+        out_specs=(state_spec, state_spec, P()),
+        check_vma=False,
+    )
+    return jax.jit(smapped, donate_argnums=(0, 1))
+
+
 def tile_batch_stats(batch_stats, mesh: Mesh, axis_name: str = DATA_AXIS):
     """Per-replica BN mode: give every replica its own copy of the running
     stats by tiling a leading device axis and sharding it."""

@@ -62,12 +62,25 @@ TARGET_LABEL = 1.0  # reference train.py:182
 
 def make_da_step(g_model, d_model, g_optimizer, d_optimizer, *,
                  lambda_adv: float, ignore_index: int = 255,
-                 d_head: int = 0, donate: bool = True):
+                 d_head: int = 0, donate: bool = True,
+                 pmean_axis: Optional[str] = None, jit: bool = True):
     """Build the jitted 4-phase DA step.
 
     Returns step(g_state, d_state, src_images, src_labels, tgt_images,
                  lr_g, lr_d) -> (g_state, d_state, metrics dict).
+
+    pmean_axis + jit=False: the per-replica-BN data-parallel variant --
+    the raw step for ``parallel.mesh.make_sharded_da_step``'s shard_map,
+    with each phase's gradients (and the metrics) pmean'd across the
+    axis while BN stats stay local, matching DataParallel's
+    mean-reduced grads + unsynced BN (reference train.py:145-152).
     """
+    if pmean_axis is not None:
+        def reduce(tree):
+            return jax.lax.pmean(tree, pmean_axis)
+    else:
+        def reduce(tree):
+            return tree
 
     def g_apply_feats(params, stats, x):
         # Head logits at native stride (1/8, 1/8, 1/16). Only the head D
@@ -106,6 +119,7 @@ def make_da_step(g_model, d_model, g_optimizer, d_optimizer, *,
 
         (seg_loss, (g_stats1, up_src)), g_grads = jax.value_and_grad(
             seg_loss_fn, has_aux=True)(g_state.params)
+        g_grads = reduce(g_grads)
         g_opt = set_learning_rate(g_state.opt_state, lr_g)
         upd, g_opt = g_optimizer.update(g_grads, g_opt, g_state.params)
         g_params1 = jax.tree.map(lambda p, u: p + u, g_state.params, upd)
@@ -124,6 +138,7 @@ def make_da_step(g_model, d_model, g_optimizer, d_optimizer, *,
 
         (loss_d1, (g_stats2, d_stats1, up_tgt)), g_grads2 = \
             jax.value_and_grad(adv_loss_fn, has_aux=True)(g_params1)
+        g_grads2 = reduce(g_grads2)
         upd2, g_opt = g_optimizer.update(g_grads2, g_opt, g_params1)
         g_params2 = jax.tree.map(lambda p, u: p + u, g_params1, upd2)
 
@@ -144,6 +159,7 @@ def make_da_step(g_model, d_model, g_optimizer, d_optimizer, *,
 
         (loss_adv_src, d_stats2), d_grads = jax.value_and_grad(
             d_src_loss_fn, has_aux=True)(d_state.params)
+        d_grads = reduce(d_grads)
         d_opt = set_learning_rate(d_state.opt_state, lr_d)
         d_upd, d_opt = d_optimizer.update(d_grads, d_opt, d_state.params)
         d_params1 = jax.tree.map(lambda p, u: p + u, d_state.params, d_upd)
@@ -156,6 +172,7 @@ def make_da_step(g_model, d_model, g_optimizer, d_optimizer, *,
 
         (loss_adv_tgt, d_stats3), d_grads2 = jax.value_and_grad(
             d_tgt_loss_fn, has_aux=True)(d_params1)
+        d_grads2 = reduce(d_grads2)
         d_upd2, d_opt = d_optimizer.update(d_grads2, d_opt, d_params1)
         d_params2 = jax.tree.map(lambda p, u: p + u, d_params1, d_upd2)
 
@@ -168,8 +185,10 @@ def make_da_step(g_model, d_model, g_optimizer, d_optimizer, *,
             "loss_G": seg_loss + loss_d1,          # train.py:264
             "loss_adv": loss_adv_src + loss_adv_tgt,  # train.py:265
         }
-        return new_g_state, new_d_state, metrics
+        return new_g_state, new_d_state, reduce(metrics)
 
+    if not jit:
+        return step
     donate_args = (0, 1) if donate else ()
     return jax.jit(step, donate_argnums=donate_args)
 
@@ -179,16 +198,19 @@ def train_da(args, g_model, d_model, g_state, d_state, g_optimizer,
              prepare_source, prepare_target, evaluate_fn, writer=None,
              logger=None, checkpoint_fn: Optional[Callable] = None,
              d_head: int = 0, profiler=None,
-             report_fn: Optional[Callable] = None):
+             report_fn: Optional[Callable] = None, da_step=None):
     """Epoch loop (reference train.py:176-299).
 
     report_fn(epoch, miou): called after every validation -- the HPO
     trial's per-epoch intermediate-result hook (reference
     train_nni.py:194 reports mIoU to the tuner at each validation epoch).
+    da_step: override the default jitted step (the per-replica-BN
+    data-parallel variant, parallel.mesh.make_sharded_da_step).
     """
-    da_step = make_da_step(g_model, d_model, g_optimizer, d_optimizer,
-                           lambda_adv=args.lambda_adv_target1,
-                           d_head=d_head)
+    if da_step is None:
+        da_step = make_da_step(g_model, d_model, g_optimizer, d_optimizer,
+                               lambda_adv=args.lambda_adv_target1,
+                               d_head=d_head)
     # compounding poly LR: reference train.py:185-186
     sched_g = PolyLR(args.learning_rate, args.num_epochs, mode="compounding")
     sched_d = PolyLR(args.learning_rate_D, args.num_epochs,

@@ -191,3 +191,32 @@ def test_cli_domain_adaptation(tmp_path):
 
     state = read_torch_checkpoint(p)
     assert any(k.startswith("module.conv1_d.") for k in state)
+
+
+def test_cli_domain_adaptation_per_replica_bn(tmp_path):
+    """--domain_adaptation + --sync_bn False on a 2-device mesh: the
+    DataParallel-faithful per-replica-BN DA step end to end (G and D
+    stats tiled, eval/export take shard 0)."""
+    cs_root = str(tmp_path / "cs")
+    gta_root = str(tmp_path / "gta")
+    _mk_cityscapes(cs_root, "train")
+    _mk_cityscapes(cs_root, "val", n=2)
+    _mk_gtav(gta_root)
+    save = str(tmp_path / "ck_pr")
+    result = cli.main(common_without("--num_devices") + [
+        "--num_devices", "2", "--sync_bn", "False",
+        "--root", cs_root, "--root_source", gta_root,
+        "--root_target", cs_root,
+        "--domain_adaptation", "True", "--depthwise", "True",
+        "--batch_norm", "True",
+        "--save_model_path", save,
+    ])
+    assert np.isfinite(result["miou"])
+    # shard-0 export: checkpoint keys are untiled (plain BN shapes)
+    from dasemanticsegmentationaml_tpu.utils.torch_io import (
+        read_torch_checkpoint,
+    )
+
+    state = read_torch_checkpoint(os.path.join(save, "GTA5_1_D1.pth"))
+    bn_means = [v for k, v in state.items() if k.endswith("running_mean")]
+    assert bn_means and all(v.ndim == 1 for v in bn_means)

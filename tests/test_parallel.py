@@ -110,6 +110,47 @@ def test_sharded_per_replica_ohem_step(setup):
     assert abs(float(loss_ohem) - float(loss_ce)) > 1e-3
 
 
+def test_sharded_per_replica_da_step(setup):
+    """DataParallel-faithful DA: per-replica BN for BOTH G and D (the
+    reference wraps both in DataParallel, train.py:145-152), grads
+    pmean'd each of the 4 phases."""
+    from dasemanticsegmentationaml_tpu.models import build_discriminator
+    from dasemanticsegmentationaml_tpu.parallel.mesh import (
+        make_sharded_da_step,
+    )
+
+    model, variables, opt, images, labels = setup
+    mesh = create_mesh(8)
+    d_model = build_discriminator(19, depthwise=True, batch_norm=True)
+    d_vars = d_model.init(jax.random.PRNGKey(1), jnp.zeros((1, H, W, 19)))
+    g_opt = make_optimizer("sgd", 0.01, momentum=0.9, weight_decay=5e-4,
+                           mask=unused_param_mask(variables["params"]))
+    d_opt = make_optimizer("adam", 1e-3, betas=(0.9, 0.99))
+    g_state = per_replica_state(create_train_state(variables, g_opt), mesh)
+    d_state = per_replica_state(create_train_state(d_vars, d_opt), mesh)
+
+    rng = np.random.default_rng(7)
+    tgt = rng.standard_normal((8, H, W, 3)).astype(np.float32)
+    imgs, labs, tgts = shard_batch(
+        (images, labels, tgt.astype(np.float32)), mesh)
+
+    step = make_sharded_da_step(model, d_model, g_opt, d_opt, mesh,
+                                lambda_adv=1e-3, sync_bn=False)
+    g1, d1, metrics = step(g_state, d_state, imgs, labs, tgts, 0.01, 1e-3)
+    for k in ("loss", "loss_D1", "loss_G", "loss_adv"):
+        assert np.isfinite(float(metrics[k])), k
+
+    # per-replica running stats: leading device axis, replicas diverge
+    for new in (g1, d1):
+        leaf = jax.tree.leaves(new.batch_stats)[0]
+        assert leaf.shape[0] == 8
+        leaf_np = np.asarray(leaf)
+        assert not np.allclose(leaf_np[0], leaf_np[1])
+    # params replicated identically (grads pmean'd -> same update)
+    k0 = np.asarray(g1.params["conv_out"]["conv_out"]["kernel"])
+    assert np.isfinite(k0).all()
+
+
 def test_batch_sharding_layout():
     mesh = create_mesh(4)
     sh = batch_sharding(mesh)
