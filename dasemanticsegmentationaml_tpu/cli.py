@@ -252,14 +252,18 @@ def main(argv=None, report_fn=None):
             from .utils.export import export_inference
             fused = (args.use_fused_eval
                      and jax.default_backend() == "tpu")
-            export_inference(eval_model, eval_vars,
-                             args.crop_height, args.crop_width,
-                             use_fused_kernel=fused,
-                             platforms=None if fused else ("cpu", "tpu"),
-                             path=args.export_model)
+            exported = export_inference(
+                eval_model, eval_vars,
+                args.crop_height, args.crop_width,
+                use_fused_kernel=fused,
+                platforms=None if fused else ("cpu", "tpu"),
+                path=args.export_model)
+            # export_inference falls back to the portable program when
+            # the kernel can't serve the shape; .platforms is the truth
+            kind = ("tpu-only fused" if exported.platforms == ("tpu",)
+                    else "cpu+tpu")
             print(f"exported serving artifact: {args.export_model} "
-                  f"({os.path.getsize(args.export_model)} bytes, "
-                  f"{'tpu-only fused' if fused else 'cpu+tpu'})")
+                  f"({os.path.getsize(args.export_model)} bytes, {kind})")
         precision, miou = evaluate(
             eval_model, eval_vars, loader_val, n_classes,
             prepare=lambda b: prepare_val(b),
@@ -307,9 +311,7 @@ def main(argv=None, report_fn=None):
         if args.resume:
             d_state, _ = maybe_resume(args, d_state, alias="latest_D1")
         custom_da_step = None
-
-        def untile_da(s):
-            return s
+        untile_da = lambda s: s  # noqa: E731
 
         if n_dev > 1:
             if args.sync_bn:
@@ -320,24 +322,19 @@ def main(argv=None, report_fn=None):
                 # (the reference wraps both in DataParallel,
                 # train.py:145-152): local BN stats per shard, grads
                 # pmean'd each phase. Export/eval take shard 0.
-                from .parallel.mesh import (make_sharded_da_step,
-                                            per_replica_state)
+                from .parallel.mesh import (check_per_replica_batch,
+                                            make_sharded_da_step,
+                                            per_replica_state,
+                                            untile_state)
 
-                if args.batch_size % data_div:
-                    raise SystemExit(
-                        f"--sync_bn False needs --batch_size "
-                        f"{args.batch_size} divisible by the data-mesh "
-                        f"size {data_div} (shard_map shards the batch)")
+                check_per_replica_batch(args.batch_size, data_div)
                 g_state = per_replica_state(g_state, mesh)
                 d_state = per_replica_state(d_state, mesh)
                 custom_da_step = make_sharded_da_step(
                     model, d_model, g_opt, d_opt, mesh,
                     lambda_adv=args.lambda_adv_target1,
                     d_head=args.d_head, sync_bn=False)
-
-                def untile_da(s):
-                    return s.replace(batch_stats=jax.tree.map(
-                        lambda x: x[0], s.batch_stats))
+                untile_da = untile_state
 
         g_state, d_state, max_miou = train_da(
             args, model, d_model, g_state, d_state, g_opt, d_opt,
@@ -384,22 +381,17 @@ def main(argv=None, report_fn=None):
             # stats (leading device axis, parallel.per_replica_state)
             # and the shard_map step pmean's the grads. Export/eval take
             # shard 0, matching torch saving device 0's module.
-            from .parallel.mesh import (make_sharded_train_step,
+            from .parallel.mesh import (check_per_replica_batch,
+                                        make_sharded_train_step,
                                         per_replica_state)
+            from .parallel.mesh import untile_state as untile_state_fn
 
-            if args.batch_size % data_div:
-                raise SystemExit(
-                    f"--sync_bn False needs --batch_size "
-                    f"{args.batch_size} divisible by the data-mesh size "
-                    f"{data_div} (shard_map shards the batch)")
+            check_per_replica_batch(args.batch_size, data_div)
             state = per_replica_state(state, mesh)
             custom_step = make_sharded_train_step(model, opt, mesh,
                                                   sync_bn=False,
                                                   ohem=args.ohem)
-
-            def untile_state(s):
-                return s.replace(batch_stats=jax.tree.map(
-                    lambda x: x[0], s.batch_stats))
+            untile_state = untile_state_fn
 
     state, max_miou = train(
         args, model, state, opt, loader_train, loader_val,

@@ -288,6 +288,22 @@ def tile_batch_stats(batch_stats, mesh: Mesh, axis_name: str = DATA_AXIS):
     return tile(batch_stats)
 
 
+def untile_state(state):
+    """Shard-0 view of a per-replica-BN train state -- the convention for
+    eval/checkpoint export (torch DataParallel saves device 0's module)."""
+    return state.replace(batch_stats=jax.tree.map(lambda x: x[0],
+                                                  state.batch_stats))
+
+
+def check_per_replica_batch(batch_size: int, data_div: int) -> None:
+    """shard_map shards the batch: refuse ragged per-shard batches."""
+    if batch_size % data_div:
+        raise SystemExit(
+            f"--sync_bn False needs --batch_size {batch_size} divisible "
+            f"by the data-mesh size {data_div} (shard_map shards the "
+            "batch)")
+
+
 def per_replica_state(state, mesh: Mesh, axis_name: str = DATA_AXIS):
     """State for the per-replica-BN (``sync_bn=False``) step: params and
     opt_state replicated, batch_stats tiled with a leading device axis.

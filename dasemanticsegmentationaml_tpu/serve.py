@@ -16,9 +16,10 @@ using the Cityscapes train-id palette (data/labels.py).
 from __future__ import annotations
 
 import argparse
+import concurrent.futures as futures
 import os
 import time
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 
@@ -45,9 +46,8 @@ def run(artifact: str, images_dir: str, output_dir: str,
         raise SystemExit(
             "artifact must take uint8 NHWC images (export_inference "
             f"preprocess=True); got {exported.in_avals[0]}")
-    static_batch: Optional[int] = b if isinstance(b, int) else None
-    if static_batch is not None:
-        batch_size = static_batch
+    if isinstance(b, int):  # static-batch artifact dictates the batch
+        batch_size = b
 
     paths = list_images(images_dir)
     if not paths:
@@ -64,23 +64,46 @@ def run(artifact: str, images_dir: str, output_dir: str,
         # always in [0, 19) so only train-id colors are ever used
         palette = train_id_colors()
 
-    n_done, t0 = 0, time.perf_counter()
-    for start in range(0, len(paths), batch_size):
-        chunk = paths[start:start + batch_size]
+    def decode_chunk(chunk):
         frames = np.stack([load_image(p, (h, w), faithful_resize)
                            for p in chunk])
-        if static_batch is not None and len(chunk) < static_batch:
-            pad = np.zeros((static_batch - len(chunk), h, w, 3), np.uint8)
+        if len(chunk) < batch_size:
+            # pad EVERY ragged tail (not just static-batch artifacts):
+            # a symbolic-batch artifact compiles per concrete batch size,
+            # and a fresh full-model compile to serve the tail is minutes
+            # on a remote-compile TPU stack
+            pad = np.zeros((batch_size - len(chunk), h, w, 3), np.uint8)
             frames = np.concatenate([frames, pad])
-        preds = np.asarray(exported.call(frames))[:len(chunk)]
-        for path, pred in zip(chunk, preds):
-            stem = os.path.splitext(os.path.basename(path))[0]
-            Image.fromarray(pred.astype(np.uint8), mode="L").save(
-                os.path.join(output_dir, f"{stem}_trainIds.png"))
-            if palette is not None:
-                Image.fromarray(palette[pred]).save(
-                    os.path.join(output_dir, f"{stem}_color.png"))
-        n_done += len(chunk)
+        return frames
+
+    def out_name(path, suffix):
+        # preserve the subdirectory structure: basename-only stems would
+        # silently overwrite same-named files from different directories
+        rel = os.path.relpath(path, images_dir)
+        stem = os.path.splitext(rel)[0]
+        full = os.path.join(output_dir, f"{stem}{suffix}.png")
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        return full
+
+    chunks = [paths[s:s + batch_size]
+              for s in range(0, len(paths), batch_size)]
+    n_done, t0 = 0, time.perf_counter()
+    with futures.ThreadPoolExecutor(max_workers=1) as pool:
+        # one-chunk decode lookahead: the host decodes chunk k+1 while
+        # the device runs chunk k (the data Loader's overlap pattern)
+        pending = pool.submit(decode_chunk, chunks[0])
+        for i, chunk in enumerate(chunks):
+            frames = pending.result()
+            if i + 1 < len(chunks):
+                pending = pool.submit(decode_chunk, chunks[i + 1])
+            preds = np.asarray(exported.call(frames))[:len(chunk)]
+            for path, pred in zip(chunk, preds):
+                Image.fromarray(pred.astype(np.uint8), mode="L").save(
+                    out_name(path, "_trainIds"))
+                if palette is not None:
+                    Image.fromarray(palette[pred]).save(
+                        out_name(path, "_color"))
+            n_done += len(chunk)
     dt = time.perf_counter() - t0
     print(f"served {n_done} images in {dt:.2f}s "
           f"({n_done / dt:.1f} img/s incl. decode+IO)")

@@ -107,6 +107,15 @@ def export_inference(model, variables, height: int, width: int,
     if platforms is not None:
         kwargs["platforms"] = tuple(platforms)
     exported = jax_export.export(jax.jit(serve), **kwargs)(spec)
+    if use_fused_kernel and "tpu_custom_call" not in exported.mlir_module():
+        # upsample_argmax quietly takes its XLA fallback for shapes the
+        # kernel can't serve (row-block granule / VMEM budget) -- don't
+        # pin a fully-portable program to 'tpu'; re-export portable so
+        # callers can tell from .platforms what they actually got
+        return export_inference(model, variables, height, width,
+                                batch=batch, preprocess=preprocess,
+                                use_fused_kernel=False,
+                                platforms=("cpu", "tpu"), path=path)
     if path is not None:
         with open(path, "wb") as f:
             f.write(exported.serialize())

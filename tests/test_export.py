@@ -102,11 +102,16 @@ def test_serve_runner_end_to_end(small_model, tmp_path):
     for i in range(3):  # 3 images, batch 2 -> exercises the tail batch
         Image.fromarray(rng.integers(0, 256, (48, 80, 3), dtype=np.uint8)
                         ).save(img_dir / f"f{i}.png")
+    # same-named file in a subdirectory: outputs must not collide
+    (img_dir / "sub").mkdir()
+    Image.fromarray(rng.integers(0, 256, (48, 80, 3), dtype=np.uint8)
+                    ).save(img_dir / "sub" / "f0.png")
     out_dir = tmp_path / "out"
 
     stats = serve.main([path, "--images", str(img_dir), "--output",
                         str(out_dir), "--batch_size", "2", "--color"])
-    assert stats["images"] == 3
+    assert stats["images"] == 4
+    assert (out_dir / "sub" / "f0_trainIds.png").exists()
 
     live = make_serving_fn(model, v)
     from dasemanticsegmentationaml_tpu.data.labels import train_id_colors

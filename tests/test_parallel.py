@@ -146,9 +146,25 @@ def test_sharded_per_replica_da_step(setup):
         assert leaf.shape[0] == 8
         leaf_np = np.asarray(leaf)
         assert not np.allclose(leaf_np[0], leaf_np[1])
-    # params replicated identically (grads pmean'd -> same update)
-    k0 = np.asarray(g1.params["conv_out"]["conv_out"]["kernel"])
-    assert np.isfinite(k0).all()
+
+    # Grads really are pmean'd: if any phase dropped its reduce, each
+    # replica would apply its LOCAL gradient and the shard_map (out_specs
+    # P(), check_vma=False) would silently return device 0's local-only
+    # params -- i.e. exactly what the single-device step computes on
+    # shard 0's batch alone. Assert we differ from that.
+    from dasemanticsegmentationaml_tpu.train import make_da_step
+
+    local = make_da_step(model, d_model, g_opt, d_opt, lambda_adv=1e-3,
+                         donate=False)
+    g_ref = create_train_state(variables, g_opt)
+    d_ref = create_train_state(d_vars, d_opt)
+    g_loc, d_loc, _ = local(g_ref, d_ref, jnp.asarray(images[:1]),
+                            jnp.asarray(labels[:1]), jnp.asarray(tgt[:1]),
+                            0.01, 1e-3)
+    for sharded, local_only in ((g1, g_loc), (d1, d_loc)):
+        diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                             sharded.params, local_only.params)
+        assert max(jax.tree.leaves(diffs)) > 1e-7
 
 
 def test_batch_sharding_layout():
