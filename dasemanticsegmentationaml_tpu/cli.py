@@ -135,6 +135,22 @@ def build_mesh(args):
     if args.crop_height % args.spatial_devices:
         raise SystemExit(f"--crop_height {args.crop_height} must be "
                          f"divisible by --spatial_devices")
+    # every downsampled stage must keep whole shard-aligned rows: once a
+    # deep stage's height drops below (or off-grid of) the spatial axis,
+    # XLA SPMD falls into "involuntary full rematerialization" resharding
+    # (upstream Shardy bug b/433785288) and the BACKWARD pass returns
+    # numerically divergent gradients (measured ~60x the gradient scale
+    # on the stride-16/32 stages; exact once shard-aligned -- see
+    # tests/test_parallel.py::test_spatial_mesh_da_step_matches_unsharded)
+    rows = args.crop_height
+    for _ in range(5):  # k3 s2 p1 conv chain: H -> ceil(H/2), 5 times
+        rows = -(-rows // 2)
+    if rows % args.spatial_devices:
+        raise SystemExit(
+            f"--spatial_devices {args.spatial_devices} must divide the "
+            f"stride-32 feature height {rows} (crop_height "
+            f"{args.crop_height}): sub-shard deep stages give wrong "
+            "gradients under XLA SPMD (involuntary-remat resharding)")
     if not args.sync_bn:
         raise SystemExit("--sync_bn False (per-replica BN) is not "
                          "supported with --spatial_devices")

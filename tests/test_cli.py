@@ -122,19 +122,32 @@ def test_cli_sync_bn_false_per_replica(tmp_path):
 
 def test_cli_spatial_mesh_supervised(tmp_path):
     """--spatial_devices 4 trains on a 2-data x 4-spatial mesh (image
-    height sharded, XLA SPMD halo exchange) end to end through the CLI."""
+    height sharded, XLA SPMD halo exchange) end to end through the CLI.
+
+    crop_height 128 keeps the stride-32 stage shard-aligned (4 rows over
+    4 shards) -- the build_mesh guard refuses shallower crops because
+    sub-shard deep stages give wrong gradients under XLA SPMD."""
     root = str(tmp_path / "cs")
-    _mk_cityscapes(root, "train", n=8)
-    _mk_cityscapes(root, "val", n=2)
+    _mk_cityscapes(root, "train", n=8, size=(128, W))
+    _mk_cityscapes(root, "val", n=2, size=(128, W))
     base = common_without("--num_devices", "--batch_size",
-                          "--num_epochs")
+                          "--num_epochs", "--crop_height")
     result = cli.main(base + [
         "--num_devices", "8", "--spatial_devices", "4",
-        "--batch_size", "4", "--num_epochs", "2",
+        "--batch_size", "4", "--num_epochs", "2", "--crop_height", "128",
         "--root", root, "--dataset", "Cityspaces",
         "--save_model_path", str(tmp_path / "ck_sp"),
     ])
     assert np.isfinite(result["miou"])
+
+    # the guard: crop 32 -> stride-32 height 1, not shard-alignable
+    with pytest.raises(SystemExit, match="stride-32"):
+        cli.main(base + [
+            "--num_devices", "8", "--spatial_devices", "4",
+            "--batch_size", "4", "--num_epochs", "2",
+            "--crop_height", "32",
+            "--root", root, "--dataset", "Cityspaces",
+        ])
 
 
 def test_cli_domain_shift_eval(tmp_path):
