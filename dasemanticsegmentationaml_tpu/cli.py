@@ -23,8 +23,7 @@ from .models import BiSeNet, build_discriminator
 from .models.bisenet import init_bisenet_variables, unused_param_mask
 from .parallel import (create_mesh, batch_sharding, replicate_state,
                        shard_batch)
-from .train import (create_train_state, evaluate, make_train_step, train,
-                    train_da)
+from .train import create_train_state, evaluate, train, train_da
 from .train.optim import make_optimizer
 from .utils import torch_io
 from .utils.config import parse_args

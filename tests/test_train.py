@@ -138,6 +138,46 @@ def test_supervised_step_decreases_loss_and_updates(bisenet_setup, rng):
     assert int(state3.step) == 3
 
 
+def test_iter_size_gradient_accumulation(bisenet_setup, rng):
+    """--iter_size 2 (optax.MultiSteps, cli.py): micro-step 1 must leave
+    params untouched, and the update applied at micro-step 2 must equal
+    plain SGD on the MEAN of the two micro-batch gradients (the
+    reference's documented-but-dead iter_size semantics, train.py:404)."""
+    import optax
+
+    from dasemanticsegmentationaml_tpu.train.supervised import (
+        make_supervised_loss,
+    )
+
+    model, variables = bisenet_setup
+    base = make_optimizer("sgd", 0.01, momentum=0.9)
+    opt = optax.MultiSteps(base, every_k_schedule=2)
+    state = create_train_state(variables, opt)
+    step = make_train_step(model, opt, donate=False)
+    b1, b2 = _fake_batch(rng), _fake_batch(rng)
+
+    s1, _ = step(state, *b1, 0.01)
+    same = jax.tree.map(lambda a, b: bool(jnp.array_equal(a, b)),
+                        state.params, s1.params)
+    assert all(jax.tree.leaves(same))  # mid-accumulation: no update
+
+    s2, _ = step(s1, *b2, 0.01)
+
+    # oracle: grads through the same BN-stat sequence, averaged, then one
+    # fresh-momentum SGD update (first step: update = -lr * grad). The
+    # oracle must be JITTED: eager-mode fp32 grads differ from the jitted
+    # step's by ~1% through the BN-cancellation amplification.
+    loss_fn = jax.jit(jax.value_and_grad(make_supervised_loss(model),
+                                         has_aux=True))
+    (_, stats1), g1 = loss_fn(state.params, state.batch_stats, *b1)
+    (_, _stats2), g2 = loss_fn(state.params, stats1, *b2)
+    expect = jax.tree.map(lambda p, a, b: p - 0.01 * (a + b) / 2,
+                          state.params, g1, g2)
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), s2.params, expect)
+    assert max(jax.tree.leaves(diffs)) < 1e-4
+
+
 def test_ohem_step_runs(bisenet_setup, rng):
     model, variables = bisenet_setup
     opt = make_optimizer("sgd", 0.01, momentum=0.9)
