@@ -150,6 +150,19 @@ def test_cli_spatial_mesh_supervised(tmp_path):
         ])
 
 
+def test_cli_supervised_iter_size(tmp_path):
+    """--iter_size 2 (gradient accumulation, the reference's dead flag
+    made real): end-to-end supervised run with MultiSteps + poly LR."""
+    root = str(tmp_path / "cs")
+    _mk_cityscapes(root, "train")
+    _mk_cityscapes(root, "val", n=2)
+    result = cli.main(COMMON + [
+        "--root", root, "--dataset", "Cityspaces", "--iter_size", "2",
+        "--save_model_path", str(tmp_path / "ck_is"),
+    ])
+    assert np.isfinite(result["miou"])
+
+
 def test_cli_domain_shift_eval(tmp_path):
     root = str(tmp_path / "cs")
     _mk_cityscapes(root, "val", n=2)
