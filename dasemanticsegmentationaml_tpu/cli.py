@@ -258,7 +258,8 @@ def main(argv=None, report_fn=None):
                      itertools.islice(iter(loader_val), args.calib_batches)]
             eval_model, eval_vars = quantize_model(
                 eval_model, eval_vars, calib,
-                filter_fn=PRESET_FILTERS[args.quantize_filter])
+                filter_fn=PRESET_FILTERS[args.quantize_filter],
+                clip=args.quantize_clip)
         if args.export_model:
             # serving artifact: frozen weights + eval forward, symbolic
             # batch (utils/export.py). With the fused eval kernel active

@@ -119,8 +119,9 @@ def declare_quant_variables(module: nn.Module):
     record_input_absmax / quantized_conv_call in ``__call__``.
     """
     if module.quant_mode == "calib":
-        return module.variable(CALIB_COLLECTION, "in_absmax",
-                               lambda: jnp.zeros((), jnp.float32))
+        return {name: module.variable(CALIB_COLLECTION, name,
+                                      lambda: jnp.zeros((), jnp.float32))
+                for name in ("in_absmax", "in_p999")}
     if module.quant_mode == "int8":
         # Selective quantization: a module the build step marked 'disabled'
         # (filter_fn excluded it) falls back to the fp path -- per-layer
@@ -143,10 +144,17 @@ def declare_quant_variables(module: nn.Module):
     return None
 
 
-def record_input_absmax(calib_var, x: jax.Array) -> None:
-    """'calib'-mode hook: track max|input| in the quant_calib collection."""
-    calib_var.value = jnp.maximum(
-        calib_var.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
+def record_input_absmax(calib_vars, x: jax.Array) -> None:
+    """'calib'-mode hook: track max|input| AND its 99.9th percentile in
+    the quant_calib collection (both maxed over batches). The percentile
+    supports outlier-robust scales (``clip='p999'``): one activation
+    spike otherwise stretches the absmax scale until the bulk of the
+    tensor quantizes to a handful of int8 levels."""
+    ax = jnp.abs(x.astype(jnp.float32))
+    calib_vars["in_absmax"].value = jnp.maximum(
+        calib_vars["in_absmax"].value, jnp.max(ax))
+    calib_vars["in_p999"].value = jnp.maximum(
+        calib_vars["in_p999"].value, jnp.quantile(ax.ravel(), 0.999))
 
 
 def quantized_conv_call(quant_vars, x: jax.Array, *, stride: int,
@@ -188,7 +196,8 @@ def collect_calibration(model: nn.Module, variables: Dict[str, Any],
 def build_quant_collection(variables: Dict[str, Any],
                            calib: Dict[str, Any],
                            eps: float = 1e-5,
-                           filter_fn=None) -> Dict[str, Any]:
+                           filter_fn=None,
+                           clip: str = "absmax") -> Dict[str, Any]:
     """Fold BN, quantize weights, and combine with calibrated activation
     scales into the 'quant' variable collection.
 
@@ -199,7 +208,12 @@ def build_quant_collection(variables: Dict[str, Any],
     ``filter_fn(path) -> bool``: optional per-layer selection; excluded
     paths get a 'disabled' marker and run the fp path at int8 apply time
     (mixed-precision deployment).
+
+    ``clip``: 'absmax' (exact range) or 'p999' (99.9th-percentile scale;
+    values beyond it saturate at +-127 -- robust to activation outliers).
     """
+    if clip not in ("absmax", "p999"):
+        raise ValueError(f"clip must be 'absmax' or 'p999', got {clip!r}")
     params = traverse_util.flatten_dict(variables["params"])
     stats = traverse_util.flatten_dict(variables.get("batch_stats", {}))
     flat_calib = traverse_util.flatten_dict(calib)
@@ -208,6 +222,8 @@ def build_quant_collection(variables: Dict[str, Any],
         if key[-1] != "in_absmax":
             continue
         path = key[:-1]
+        if clip == "p999":
+            absmax = flat_calib[path + ("in_p999",)]
         if filter_fn is not None and not filter_fn(path):
             out[path + ("disabled",)] = jnp.zeros((), jnp.int8)
             continue
@@ -233,10 +249,12 @@ def quantize_model(model: nn.Module, variables: Dict[str, Any],
                    batches: Iterable[jax.Array],
                    method: Optional[Any] = None,
                    filter_fn=None,
+                   clip: str = "absmax",
                    ) -> Tuple[nn.Module, Dict[str, Any]]:
     """One-call PTQ: calibrate on ``batches`` (eval mode), build the quant
     collection, and return (int8 model, variables incl. 'quant')."""
     calib = collect_calibration(model, variables, batches, method=method)
-    quant = build_quant_collection(variables, calib, filter_fn=filter_fn)
+    quant = build_quant_collection(variables, calib, filter_fn=filter_fn,
+                                   clip=clip)
     return model.clone(quant_mode="int8"), {**variables,
                                             QUANT_COLLECTION: quant}

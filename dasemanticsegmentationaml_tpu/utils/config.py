@@ -122,6 +122,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="which layers --quantize_int8 quantizes "
                         "(ops/quantize.py PRESET_FILTERS; 'head' measured "
                         "fastest on v5e, the rest run bf16)")
+    p.add_argument("--quantize_clip", type=str, default="absmax",
+                   choices=["absmax", "p999"],
+                   help="activation-scale calibration for --quantize_int8: "
+                        "exact range, or the 99.9th percentile "
+                        "(outlier-robust; spikes saturate instead of "
+                        "stretching the scale)")
     p.add_argument("--export_model", type=str, default=None,
                    help="with --domain_shift: also export the eval forward "
                         "(incl. --quantize_int8 if set) as a serialized "

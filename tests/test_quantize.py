@@ -144,6 +144,34 @@ def test_selective_quantization_filter():
     assert cos > 0.9995
 
 
+def test_percentile_clip_is_outlier_robust(convx_setup):
+    """clip='p999': one activation spike must not stretch the scale. With
+    absmax calibration a 1000x outlier leaves the bulk of the tensor on a
+    handful of int8 levels; the percentile scale saturates the spike and
+    keeps the bulk accurate."""
+    m, v, x = convx_setup
+    spiked = x.at[0, 0, 0, 0].set(1000.0)  # calibration saw one outlier
+    ref = m.apply(v, x, train=False)  # quality measured on clean inputs
+
+    def err_of(clip):
+        qm, qv = quantize_model(m, v, [spiked], clip=clip)
+        out = qm.apply(qv, x, train=False)
+        return float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+
+    err_absmax, err_p999 = err_of("absmax"), err_of("p999")
+    assert err_p999 < 0.05
+    assert err_absmax > 0.5  # the spike-stretched scale wrecked the bulk
+
+    # the calibration tree records both statistics, percentile << absmax
+    calib = collect_calibration(m, v, [spiked])
+    flat = traverse_util.flatten_dict(calib)
+    assert flat[("in_absmax",)] == pytest.approx(1000.0)
+    assert flat[("in_p999",)] < 50.0
+
+    with pytest.raises(ValueError, match="clip"):
+        quantize_model(m, v, [spiked], clip="p90")
+
+
 def test_preset_filters_partition_bisenet():
     """PRESET_FILTERS (the --quantize_filter choices) resolve against the
     real BiSeNet tree: 'head' picks exactly the main-head 3x3,
