@@ -131,25 +131,14 @@ def build_mesh(args):
     if total % args.spatial_devices:
         raise SystemExit(f"--spatial_devices {args.spatial_devices} "
                          f"must divide the device count {total}")
-    if args.crop_height % args.spatial_devices:
-        raise SystemExit(f"--crop_height {args.crop_height} must be "
-                         f"divisible by --spatial_devices")
-    # every downsampled stage must keep whole shard-aligned rows: once a
-    # deep stage's height drops below (or off-grid of) the spatial axis,
-    # XLA SPMD falls into "involuntary full rematerialization" resharding
-    # (upstream Shardy bug b/433785288) and the BACKWARD pass returns
-    # numerically divergent gradients (measured ~60x the gradient scale
-    # on the stride-16/32 stages; exact once shard-aligned -- see
-    # tests/test_parallel.py::test_spatial_mesh_da_step_matches_unsharded)
-    rows = args.crop_height
-    for _ in range(5):  # k3 s2 p1 conv chain: H -> ceil(H/2), 5 times
-        rows = -(-rows // 2)
-    if rows % args.spatial_devices:
-        raise SystemExit(
-            f"--spatial_devices {args.spatial_devices} must divide the "
-            f"stride-32 feature height {rows} (crop_height "
-            f"{args.crop_height}): sub-shard deep stages give wrong "
-            "gradients under XLA SPMD (involuntary-remat resharding)")
+    from .parallel.mesh import check_spatial_height
+
+    try:
+        # EVERY stage of the stride-32 pyramid must keep shard-aligned
+        # rows, else XLA SPMD returns wrong gradients (see the helper)
+        check_spatial_height(args.crop_height, args.spatial_devices)
+    except ValueError as e:
+        raise SystemExit(str(e))
     if not args.sync_bn:
         raise SystemExit("--sync_bn False (per-replica BN) is not "
                          "supported with --spatial_devices")
@@ -290,6 +279,15 @@ def main(argv=None, report_fn=None):
 
     if args.domain_adaptation:
         # reference train_DA (train.py:134-299)
+        if args.iter_size > 1:
+            # accumulation cannot be grafted onto the 4-phase step: the
+            # phase-1 G update must APPLY before phase 2 reuses the
+            # activations (train.py:192-262's autograd graph); MultiSteps
+            # would defer it and silently change the algorithm
+            raise SystemExit("--iter_size > 1 is supervised-only: the "
+                             "4-phase DA step applies the phase-1 update "
+                             "before phase 2, which gradient accumulation "
+                             "would defer")
         source_ds = GtaV(args.root_source, args.aug_type, args.crop_height,
                          args.crop_width,
                          faithful_resize=args.faithful_resize)

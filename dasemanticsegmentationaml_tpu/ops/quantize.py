@@ -149,12 +149,19 @@ def record_input_absmax(calib_vars, x: jax.Array) -> None:
     the quant_calib collection (both maxed over batches). The percentile
     supports outlier-robust scales (``clip='p999'``): one activation
     spike otherwise stretches the absmax scale until the bulk of the
-    tensor quantizes to a handful of int8 levels."""
-    ax = jnp.abs(x.astype(jnp.float32))
+    tensor quantizes to a handful of int8 levels.
+
+    The quantile sorts a deterministic strided SUBSAMPLE capped at ~2^20
+    elements: a full sort of a real eval tensor (1e8+ elements) would
+    dominate calibration, and a 1M-point sample pins the 99.9th
+    percentile far tighter than the batch-to-batch variation it feeds.
+    """
+    ax = jnp.abs(x.astype(jnp.float32)).ravel()
     calib_vars["in_absmax"].value = jnp.maximum(
         calib_vars["in_absmax"].value, jnp.max(ax))
+    stride = max(1, ax.size // (1 << 20))
     calib_vars["in_p999"].value = jnp.maximum(
-        calib_vars["in_p999"].value, jnp.quantile(ax.ravel(), 0.999))
+        calib_vars["in_p999"].value, jnp.quantile(ax[::stride], 0.999))
 
 
 def quantized_conv_call(quant_vars, x: jax.Array, *, stride: int,
@@ -223,7 +230,11 @@ def build_quant_collection(variables: Dict[str, Any],
             continue
         path = key[:-1]
         if clip == "p999":
-            absmax = flat_calib[path + ("in_p999",)]
+            p999 = flat_calib[path + ("in_p999",)]
+            # a >=99.9%-zero input (sparse post-ReLU map) calibrates
+            # p999 to 0.0 -- the 1e-12 floor below would then saturate
+            # ALL real signal to +-127; fall back to absmax there
+            absmax = jnp.where(p999 > 0, p999, absmax)
         if filter_fn is not None and not filter_fn(path):
             out[path + ("disabled",)] = jnp.zeros((), jnp.int8)
             continue

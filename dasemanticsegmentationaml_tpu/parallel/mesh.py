@@ -83,6 +83,34 @@ def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
     return NamedSharding(mesh, P(axis_name))
 
 
+def check_spatial_height(height: int, spatial_size: int,
+                         n_downsamples: int = 5) -> None:
+    """Refuse image heights whose downsampled stages go off the spatial
+    grid.
+
+    Every stage of a k3-s2-p1 conv chain (H -> ceil(H/2), n_downsamples
+    times for STDC's stride-32 pyramid) must keep whole shard-aligned
+    rows: once any stage's height is not divisible by the spatial axis,
+    XLA SPMD falls into "involuntary full rematerialization" resharding
+    (upstream Shardy bug b/433785288) and the BACKWARD pass returns
+    numerically divergent gradients (measured ~60x the gradient scale;
+    fp-exact when shard-aligned -- tests/test_parallel.py::
+    test_spatial_mesh_da_step_matches_unsharded). Called by the CLI's
+    build_mesh; library users of create_mesh_spatial should call it with
+    their model's downsample count.
+    """
+    rows = height
+    for i in range(n_downsamples + 1):
+        if rows % spatial_size:
+            raise ValueError(
+                f"image height {height} is not spatially shardable over "
+                f"{spatial_size} devices: the stride-{2 ** i} stage has "
+                f"{rows} rows (not divisible by {spatial_size}); "
+                "sub-shard stages give wrong gradients under XLA SPMD "
+                "(involuntary-remat resharding)")
+        rows = -(-rows // 2)
+
+
 def create_mesh_spatial(data_size: int, spatial_size: int,
                         devices: Optional[Sequence] = None) -> Mesh:
     """('data', 'spatial') mesh: batch x image-height decomposition.

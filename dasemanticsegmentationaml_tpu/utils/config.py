@@ -67,7 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--loss", type=str, default="crossentropy",
                    help="crossentropy | ohem")
     p.add_argument("--iter_size", type=int, default=1,
-                   help="gradient accumulation steps (honored here)")
+                   help="gradient accumulation steps (honored here; "
+                        "supervised mode only -- the 4-phase DA step "
+                        "applies mid-step updates accumulation would "
+                        "defer)")
     p.add_argument("--domain_shift", type=str2bool, default=False)
     p.add_argument("--domain_adaptation", type=str2bool, default=False)
     p.add_argument("--momentum", type=float, default=0.9)

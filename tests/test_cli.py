@@ -141,7 +141,7 @@ def test_cli_spatial_mesh_supervised(tmp_path):
     assert np.isfinite(result["miou"])
 
     # the guard: crop 32 -> stride-32 height 1, not shard-alignable
-    with pytest.raises(SystemExit, match="stride-32"):
+    with pytest.raises(SystemExit, match="spatially shardable"):
         cli.main(base + [
             "--num_devices", "8", "--spatial_devices", "4",
             "--batch_size", "4", "--num_epochs", "2",

@@ -167,6 +167,21 @@ def test_sharded_per_replica_da_step(setup):
         assert max(jax.tree.leaves(diffs)) > 1e-7
 
 
+def test_check_spatial_height():
+    """Library-level guard: EVERY stage of the stride-32 pyramid must be
+    shard-aligned, not just the input or the last stage."""
+    from dasemanticsegmentationaml_tpu.parallel.mesh import (
+        check_spatial_height,
+    )
+
+    check_spatial_height(128, 4)
+    check_spatial_height(1024, 8)
+    with pytest.raises(ValueError, match="stride-2 "):
+        check_spatial_height(116, 4)  # input divides; stage 2 is 58 rows
+    with pytest.raises(ValueError, match="spatially shardable"):
+        check_spatial_height(32, 4)  # deep stages drop below the axis
+
+
 def test_spatial_mesh_da_step_matches_unsharded():
     """The 4-phase DA step on a ('data','spatial') mesh (batch x image
     height) is the same program as single-device: XLA SPMD inserts the

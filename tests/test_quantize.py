@@ -172,6 +172,22 @@ def test_percentile_clip_is_outlier_robust(convx_setup):
         quantize_model(m, v, [spiked], clip="p90")
 
 
+def test_percentile_clip_sparse_input_falls_back(convx_setup):
+    """>=99.9%-zero calibration input (sparse post-ReLU map): in_p999
+    calibrates to 0, which must fall back to the absmax scale instead of
+    saturating all real signal through the 1e-12 floor."""
+    m, v, x = convx_setup
+    sparse = jnp.zeros_like(x).at[0, :2, :2, 0].set(5.0)
+    ref = m.apply(v, sparse, train=False)
+    qm, qv = quantize_model(m, v, [sparse], clip="p999")
+    flat = traverse_util.flatten_dict(qv["quant"])
+    assert float(flat[("in_inv_scale",)]) == pytest.approx(127.0 / 5.0,
+                                                           rel=1e-5)
+    out = qm.apply(qv, sparse, train=False)
+    err = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert err < 0.1
+
+
 def test_preset_filters_partition_bisenet():
     """PRESET_FILTERS (the --quantize_filter choices) resolve against the
     real BiSeNet tree: 'head' picks exactly the main-head 3x3,
