@@ -11,11 +11,9 @@ Run:  python -m dasemanticsegmentationaml_tpu.cli --dataset GTAV ...
 from __future__ import annotations
 
 import os
-from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .data import (CityScapes, GtaV, Loader, prepare_batch, train_val_split)
 from .data.datasets import Subset

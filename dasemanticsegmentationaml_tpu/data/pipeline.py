@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import collections
 import concurrent.futures as futures
-import threading
 from functools import partial
 from typing import Iterator, Optional, Tuple
 

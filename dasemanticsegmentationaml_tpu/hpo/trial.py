@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import sys
 from typing import Optional
 
 
@@ -73,7 +72,6 @@ def main(argv=None):
     params = get_params(known)
     reporter = _Reporter(known.nni_output)
 
-    from ..utils.config import parse_args
     from .. import cli
 
     cli_args = passthrough + [

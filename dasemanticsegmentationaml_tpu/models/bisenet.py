@@ -20,7 +20,7 @@ the spatial axes; nearest upsamples use torch ``mode='nearest'`` rules
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

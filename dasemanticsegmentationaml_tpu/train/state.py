@@ -2,12 +2,11 @@
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any
 
 import jax
 from flax import struct
 
-from .optim import make_optimizer
 
 
 @struct.dataclass

@@ -22,7 +22,6 @@ parallel.per_replica (shard_map) when faithfulness matters.
 
 from __future__ import annotations
 
-import functools
 import time
 from typing import Callable, Optional
 

@@ -26,7 +26,6 @@ This module implements, in pure Python (zipfile + pickle + numpy):
 from __future__ import annotations
 
 import io
-import os
 import pickle
 import struct
 import tarfile
