@@ -2,16 +2,31 @@
 
 Exports two artifacts in-process (portable XLA and tpu-only fused,
 utils/export.py), executes both on the chip, checks exact agreement
-with the live model, and times the fused one with the bench.py
-protocol (lax.scan-chained on-device iterations, single host readback).
+with the live model, and times them with the bench.py protocol
+(lax.scan-chained on-device iterations, single host readback).
 
 Expectation: the fused artifact matches bench.py's live fused path
 (same XLA program modulo the baked preprocessing); the portable one
 runs the tap-matmul resize+argmax (bench.py's pre-kernel path,
 ~2376 img/s at bs=128).
 
-Usage: PYTHONPATH=/root/repo:/root/.axon_site timeout 1100 \
-    python tools/bench_serve.py [bs]
+Written for a flaky compile service (CLAUDE.md: healthy windows are
+short; multi-program scripts rarely fit one). Staged so a partial
+window still yields the load-bearing result first:
+
+  gate     tiny fresh-shape compile — fails fast if the service is down
+  verify   fused-artifact exactness vs the live jit (1+1 compiles)
+  portable portable-artifact agreement (1 compile)
+  fused    chained throughput of the fused artifact (1 compile)
+  ptime    chained throughput of the portable artifact (1 compile)
+
+Each stage prints a timestamped line as soon as it completes, and every
+compiled program lands in the remote compile cache, so a re-run after an
+outage resumes cheaply from cache.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site timeout 1800 \
+    python tools/bench_serve.py [bs] [stage,stage,...]
+Stages default to all of verify,portable,fused,ptime.
 """
 import sys
 import time
@@ -21,11 +36,47 @@ import jax.numpy as jnp
 import numpy as np
 
 CHAIN, REPS = 32, 3
+_T0 = time.time()
+
+
+def say(msg):
+    print(f"[{time.time() - _T0:7.1f}s] {msg}", flush=True)
+
+
+def time_chained(exp, imgs, bs):
+    @jax.jit
+    def chained(images):
+        def body(carry, _):
+            pred = exp.call(carry)
+            bump = (jnp.sum(pred) % 2).astype(jnp.uint8)
+            return carry + bump[None, None, None, None], jnp.sum(pred)
+        _, sums = jax.lax.scan(body, images, None, length=CHAIN)
+        return sums
+
+    np.asarray(chained(imgs))  # compile + warm
+    best = float("inf")
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        np.asarray(chained(imgs))
+        best = min(best, time.perf_counter() - t0)
+    return bs * CHAIN / best
 
 
 def main():
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    stages = set((sys.argv[2] if len(sys.argv) > 2
+                  else "verify,portable,fused,ptime").split(","))
     h, w = 512, 1024
+
+    # Gate: a FRESH-shape tiny compile. Cached warmups pass during an
+    # outage and would let the script hang minutes into a full-model
+    # compile; an uncached one hangs immediately, so the caller's
+    # timeout kills us before wedging anything.
+    m = 131 + (int(_T0) % 97)
+    np.asarray(jax.jit(lambda a: (a @ a.T).sum())(
+        jnp.ones((m, 257), jnp.bfloat16)))
+    say(f"gate ok (fresh {m}x257 matmul compiled) — service healthy")
+
     from dasemanticsegmentationaml_tpu.models import BiSeNet
     from dasemanticsegmentationaml_tpu.models.bisenet import (
         init_bisenet_variables)
@@ -37,42 +88,47 @@ def main():
     rng = np.random.default_rng(0)
     imgs_small = jnp.asarray(rng.integers(0, 256, (2, h, w, 3)), jnp.uint8)
 
-    # warm the dispatch path with a throwaway op
-    np.asarray(jnp.ones((8, 128), jnp.bfloat16) @ jnp.ones((128, 8),
-                                                           jnp.bfloat16))
+    need_fused = bool(stages & {"verify", "fused"})
+    on_tpu = jax.default_backend() == "tpu"
+    exp_fused = exp_plain = None
+    if need_fused:
+        exp_fused = export_inference(model, v, h, w, use_fused_kernel=True)
+        say("fused artifact exported (host-side, no chip compile)")
+    if stages & {"portable", "ptime"}:
+        exp_plain = export_inference(model, v, h, w, platforms=("cpu", "tpu"))
+        say("portable artifact exported")
 
-    exp_fused = export_inference(model, v, h, w, use_fused_kernel=True)
-    exp_plain = export_inference(model, v, h, w, platforms=("cpu", "tpu"))
-    live = jax.jit(make_serving_fn(model, v, use_fused_kernel=True))
+    want = None
+    if stages & {"verify", "portable"}:
+        # the comparison oracle is the live fused path on TPU (what
+        # bench.py measures); on CPU fall back to the live plain path
+        # so the portable stage is smoke-testable off-chip.
+        live = jax.jit(make_serving_fn(model, v, use_fused_kernel=on_tpu))
+        want = np.asarray(live(imgs_small))
+        say(f"live {'fused' if on_tpu else 'plain'} model compiled + ran")
 
-    want = np.asarray(live(imgs_small))
-    got_f = np.asarray(jax.jit(exp_fused.call)(imgs_small))
-    got_p = np.asarray(jax.jit(exp_plain.call)(imgs_small))
-    print("fused artifact exact vs live:", bool((got_f == want).all()))
-    agree = float((got_p == want).mean())
-    print(f"portable artifact argmax agreement vs fused: {agree:.6f} "
-          "(bf16 tap quantization, expect ~1-5e-6 mismatch)")
+    if "verify" in stages:
+        got_f = np.asarray(jax.jit(exp_fused.call)(imgs_small))
+        say("RESULT fused artifact exact vs live: "
+            f"{bool((got_f == want).all())}")
 
-    imgs = jnp.asarray(rng.integers(0, 256, (bs, h, w, 3)), jnp.uint8)
+    if "portable" in stages:
+        got_p = np.asarray(jax.jit(exp_plain.call)(imgs_small))
+        agree = float((got_p == want).mean())
+        say(f"RESULT portable artifact argmax agreement vs live: "
+            f"{agree:.6f} (bf16 tap quantization, expect ~1-5e-6 "
+            "mismatch vs the fused oracle; exact vs the plain one)")
 
-    for name, exp in (("fused", exp_fused), ("portable", exp_plain)):
-        @jax.jit
-        def chained(images):
-            def body(carry, _):
-                pred = exp.call(carry)  # noqa: B023
-                bump = (jnp.sum(pred) % 2).astype(jnp.uint8)
-                return carry + bump[None, None, None, None], jnp.sum(pred)
-            _, sums = jax.lax.scan(body, images, None, length=CHAIN)
-            return sums
-
-        np.asarray(chained(imgs))  # compile + warm
-        best = float("inf")
-        for _ in range(REPS):
-            t0 = time.perf_counter()
-            np.asarray(chained(imgs))
-            best = min(best, time.perf_counter() - t0)
-        print(f"{name}: bs={bs} {bs * CHAIN / best:.1f} img/s "
-              "(incl. baked uint8 preprocessing)")
+    if stages & {"fused", "ptime"}:
+        imgs = jnp.asarray(rng.integers(0, 256, (bs, h, w, 3)), jnp.uint8)
+        if "fused" in stages:
+            fps = time_chained(exp_fused, imgs, bs)
+            say(f"RESULT fused: bs={bs} {fps:.1f} img/s "
+                "(incl. baked uint8 preprocessing)")
+        if "ptime" in stages:
+            fps = time_chained(exp_plain, imgs, bs)
+            say(f"RESULT portable: bs={bs} {fps:.1f} img/s "
+                "(incl. baked uint8 preprocessing)")
 
 
 if __name__ == "__main__":
