@@ -259,6 +259,82 @@ def test_bisenet_train_mode_golden_vs_reference(tmp_path):
         rtol=1e-3, atol=1e-4)
 
 
+@requires_reference
+def test_backbone_add_variant_golden_vs_reference(tmp_path):
+    """Golden parity for the AddBottleneck backbone (reference
+    stdcnet.py:121-123 selects it via type="add"; :17-64 is the block).
+    The main paths always use "cat", so this is the only coverage the
+    residual-add chain gets."""
+    import torch
+
+    sys.path.insert(0, REFERENCE_ROOT)
+    from model.stdcnet import STDCNet813 as TorchSTDC
+
+    from dasemanticsegmentationaml_tpu.models import STDCNet813
+
+    torch.manual_seed(4)
+    tmodel = TorchSTDC(type="add", pretrain_model="")
+    tmodel.eval()
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 3, 64, 128)).astype(np.float32)
+    with torch.no_grad():
+        t_feats = [f.numpy() for f in tmodel(torch.tensor(x))]
+
+    p = str(tmp_path / "stdc_add.pth")
+    torch.save(tmodel.state_dict(), p)
+
+    jmodel = STDCNet813(block_type="add")
+    # init through the classifier path so the checkpoint's classifier-head
+    # params (conv_last/fc/bn/linear) exist and load leaf-complete
+    variables = jmodel.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 128, 3)),
+                            method=STDCNet813.classify)
+    new_vars, report = load_pretrained(variables, p)
+    assert not report["not_in_model"], report["not_in_model"][:10]
+    assert not report["shape_mismatch"], report["shape_mismatch"][:10]
+
+    j_feats = jmodel.apply(new_vars, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    assert len(j_feats) == len(t_feats) == 5
+    for j, t in zip(j_feats, t_feats):
+        j = np.asarray(j).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(j, t, rtol=1e-3, atol=1e-4)
+
+
+@requires_reference
+def test_backbone_classifier_golden_vs_reference(tmp_path):
+    """Golden parity for the ImageNet classifier head (reference
+    stdcnet.py:196-204 ``forward_impl``: conv_last -> pow(2) -> GAP -> fc
+    -> BN1d -> relu -> dropout -> linear), eval mode."""
+    import torch
+
+    sys.path.insert(0, REFERENCE_ROOT)
+    from model.stdcnet import STDCNet813 as TorchSTDC
+
+    from dasemanticsegmentationaml_tpu.models import STDCNet813
+
+    torch.manual_seed(6)
+    tmodel = TorchSTDC(pretrain_model="")
+    tmodel.eval()
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, 3, 64, 128)).astype(np.float32)
+    with torch.no_grad():
+        t_out = tmodel.forward_impl(torch.tensor(x)).numpy()
+
+    p = str(tmp_path / "stdc_cls.pth")
+    torch.save(tmodel.state_dict(), p)
+
+    jmodel = STDCNet813()
+    variables = jmodel.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 128, 3)),
+                            method=STDCNet813.classify)
+    new_vars, report = load_pretrained(variables, p)
+    assert not report["not_in_model"], report["not_in_model"][:10]
+    assert not report["shape_mismatch"], report["shape_mismatch"][:10]
+
+    j_out = jmodel.apply(new_vars, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                         method=STDCNet813.classify)
+    assert j_out.shape == (2, 1000)
+    np.testing.assert_allclose(np.asarray(j_out), t_out, rtol=1e-3, atol=1e-4)
+
+
 # ------------------------------------------------------------------- export
 @requires_torch
 def test_export_variables_as_torch_state(tmp_path):
