@@ -13,6 +13,7 @@
 
 #include <algorithm>
 #include <cmath>
+#include <csetjmp>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -32,16 +33,92 @@ bool ends_with(const std::string& s, const std::string& suffix) {
   return tail == suffix;
 }
 
+// Label-map (gray) PNG decode via the full libpng API. The simplified
+// png_image API with PNG_FORMAT_GRAY expands palettized PNGs to RGB and
+// luma-converts them -- but for 'P'-mode label maps (GTA5 labels,
+// reference GTAV.py:88) the pixel VALUE is the class id, so the palette
+// indices themselves must be returned, exactly as PIL does for mode 'P'
+// (transforms_host.load_label keeps L/P/I modes unconverted). Anything
+// that is not 8-bit-indexable gray/palette data falls back to PIL.
+bool decode_png_gray(const char* path, std::vector<uint8_t>& out,
+                     int& w, int& h, int& channels) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr,
+                             nullptr);
+  if (!png) {
+    std::fclose(f);
+    return false;
+  }
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    std::fclose(f);
+    return false;
+  }
+  if (setjmp(png_jmpbuf(png))) {  // libpng fatal error -> clean failure
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(f);
+    return false;
+  }
+  png_init_io(png, f);
+  png_read_info(png, info);
+  int color_type = png_get_color_type(png, info);
+  int bit_depth = png_get_bit_depth(png, info);
+  bool indexed = (color_type == PNG_COLOR_TYPE_PALETTE);
+  bool gray8 = (color_type == PNG_COLOR_TYPE_GRAY && bit_depth <= 8);
+  if (!indexed && !gray8) {
+    // RGB/alpha/16-bit labels: defer to the PIL path (its conversion
+    // rules are the parity contract).
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(f);
+    return false;
+  }
+  if (bit_depth < 8) {
+    // expand 1/2/4-bit values to one byte each WITHOUT scaling:
+    // palette indices stay indices, gray values stay raw (PIL's 'P';
+    // sub-8-bit non-palette gray is not a label format we serve).
+    if (indexed) {
+      png_set_packing(png);
+    } else {
+      png_destroy_read_struct(&png, &info, nullptr);
+      std::fclose(f);
+      return false;
+    }
+  }
+  png_set_interlace_handling(png);
+  png_read_update_info(png, info);
+  w = static_cast<int>(png_get_image_width(png, info));
+  h = static_cast<int>(png_get_image_height(png, info));
+  channels = 1;
+  if (png_get_rowbytes(png, info) != static_cast<size_t>(w)) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(f);
+    return false;
+  }
+  out.resize(static_cast<size_t>(w) * h);
+  std::vector<png_bytep> rows(h);
+  for (int y = 0; y < h; y++)
+    rows[y] = out.data() + static_cast<size_t>(y) * w;
+  png_read_image(png, rows.data());
+  png_read_end(png, nullptr);
+  png_destroy_read_struct(&png, &info, nullptr);
+  std::fclose(f);
+  return true;
+}
+
 bool decode_png(const char* path, bool gray, std::vector<uint8_t>& out,
                 int& w, int& h, int& channels) {
+  if (gray) return decode_png_gray(path, out, w, h, channels);
   png_image image;
   std::memset(&image, 0, sizeof(image));
   image.version = PNG_IMAGE_VERSION;
   if (!png_image_begin_read_from_file(&image, path)) return false;
-  image.format = gray ? PNG_FORMAT_GRAY : PNG_FORMAT_RGB;
+  image.format = PNG_FORMAT_RGB;
   w = static_cast<int>(image.width);
   h = static_cast<int>(image.height);
-  channels = gray ? 1 : 3;
+  channels = 3;
   out.resize(static_cast<size_t>(w) * h * channels);
   if (!png_image_finish_read(&image, nullptr, out.data(), 0, nullptr)) {
     png_image_free(&image);
@@ -50,13 +127,31 @@ bool decode_png(const char* path, bool gray, std::vector<uint8_t>& out,
   return true;
 }
 
+// libjpeg's default error_exit calls exit(): one corrupt .jpg would
+// take down the whole training process. Standard setjmp override so a
+// fatal decode error returns false (-> PIL fallback) instead.
+struct JpegErrorJmp {
+  jpeg_error_mgr pub;
+  std::jmp_buf jump;
+};
+
+void jpeg_error_longjmp(j_common_ptr cinfo) {
+  std::longjmp(reinterpret_cast<JpegErrorJmp*>(cinfo->err)->jump, 1);
+}
+
 bool decode_jpeg(const char* path, bool gray, std::vector<uint8_t>& out,
                  int& w, int& h, int& channels) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return false;
   jpeg_decompress_struct cinfo;
-  jpeg_error_mgr jerr;
-  cinfo.err = jpeg_std_error(&jerr);
+  JpegErrorJmp jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_longjmp;
+  if (setjmp(jerr.jump)) {  // fatal libjpeg error mid-decode
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return false;
+  }
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, f);
   if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
@@ -268,8 +363,14 @@ int dseg_image_size(const char* path, int* w, int* h) {
     FILE* f = std::fopen(path, "rb");
     if (!f) return 1;
     jpeg_decompress_struct cinfo;
-    jpeg_error_mgr jerr;
-    cinfo.err = jpeg_std_error(&jerr);
+    JpegErrorJmp jerr;
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = jpeg_error_longjmp;
+    if (setjmp(jerr.jump)) {
+      jpeg_destroy_decompress(&cinfo);
+      std::fclose(f);
+      return 1;
+    }
     jpeg_create_decompress(&cinfo);
     jpeg_stdio_src(&cinfo, f);
     if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {

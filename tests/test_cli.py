@@ -36,8 +36,12 @@ def _mk_gtav(root, n=6, size=(H, W)):
     for i in range(n):
         Image.fromarray(rng.integers(0, 255, (*size, 3), dtype=np.uint8)
                         ).save(os.path.join(root, "images", f"{i:05d}.png"))
-        Image.fromarray(rng.integers(0, 35, size, dtype=np.uint8), mode="L"
-                        ).save(os.path.join(root, "labels", f"{i:05d}.png"))
+        # real GTA5 labels are PALETTIZED ('P' mode, pixel value = class
+        # id); the decode path must return indices, not palette luma
+        lab = Image.fromarray(rng.integers(0, 35, size, dtype=np.uint8),
+                              mode="P")
+        lab.putpalette(rng.integers(0, 256, 768, dtype=np.uint8).tolist())
+        lab.save(os.path.join(root, "labels", f"{i:05d}.png"))
 
 
 def common_without(*flags):

@@ -69,3 +69,76 @@ def test_jpeg_decode(tmp_path, rng):
     assert nat is not None and nat.shape == (32, 48, 3)
     # both use this image's libjpeg with the default IDCT -> bit-equal
     np.testing.assert_array_equal(pil, nat)
+
+
+@pytest.fixture()
+def palettized_png(tmp_path, rng):
+    """A 'P'-mode label PNG where the palette COLOR's luma differs from
+    the index, so a palette->RGB->luma decode (the bug class this guards
+    against) produces wrong values for every pixel."""
+    from PIL import Image
+
+    lab = rng.integers(0, 35, (41, 57), dtype=np.uint8)
+    img = Image.fromarray(lab, mode="P")
+    # GTA5-style palette: arbitrary bright colors per class id
+    palette = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    img.putpalette(palette.flatten().tolist())
+    p = str(tmp_path / "lab_p.png")
+    img.save(p)
+    assert Image.open(p).mode == "P"
+    return p, lab
+
+
+def test_palettized_label_indices(palettized_png):
+    """Palettized label PNGs (GTA5's format, reference GTAV.py:88) must
+    decode to palette INDICES (class ids), exactly like PIL mode 'P' --
+    not to luma of the palette colors."""
+    p, lab = palettized_png
+    nat = native.decode_resize(p, None, "nearest", grayscale=True)
+    np.testing.assert_array_equal(nat, lab)
+
+
+@pytest.mark.parametrize("size", [(24, 16), (100, 80)])
+def test_palettized_label_resize_vs_pil(palettized_png, size):
+    from PIL import Image
+
+    p, _lab = palettized_png
+    pil = np.asarray(Image.open(p).resize(size, Image.NEAREST))
+    nat = native.decode_resize(p, size, "nearest", grayscale=True)
+    np.testing.assert_array_equal(pil, nat)
+
+
+def test_palettized_load_label_end_to_end(palettized_png):
+    from dasemanticsegmentationaml_tpu.data.transforms_host import load_label
+
+    p, lab = palettized_png
+    out = load_label(p, out_hw=None)
+    np.testing.assert_array_equal(out, lab)
+
+
+def test_corrupt_jpeg_returns_none(tmp_path):
+    """A fatal libjpeg decode error must return None (PIL fallback), not
+    exit() the process (libjpeg's default error_exit)."""
+    p = str(tmp_path / "junk.jpg")
+    with open(p, "wb") as f:
+        f.write(b"\xff\xd8\xff\xe0not a real jpeg at all" * 3)
+    assert native.decode_resize(p, None, "bilinear") is None
+
+
+def test_truncated_jpeg_survives(tmp_path, rng):
+    """Truncation past the header exercises the mid-scanline error path
+    (error_exit during jpeg_read_scanlines -> longjmp -> None)."""
+    from PIL import Image
+
+    img = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+    whole = tmp_path / "whole.jpg"
+    Image.fromarray(img).save(str(whole), quality=95)
+    data = whole.read_bytes()
+    p = str(tmp_path / "cut.jpg")
+    with open(p, "wb") as f:
+        f.write(data[: len(data) // 2])
+    out = native.decode_resize(p, None, "bilinear")
+    # libjpeg may recover a partial image via error-concealment warnings
+    # (not fatal) or fail outright; both are fine -- the process survives
+    # and the result is either None or a full-shape uint8 array.
+    assert out is None or out.shape == (64, 96, 3)
