@@ -343,7 +343,14 @@ class STDCNet813(nn.Module):
 
     def classify(self, x: jax.Array, train: bool = False,
                  rngs_available: bool = False):
-        """ImageNet classifier forward (reference stdcnet.py:196-204)."""
+        """ImageNet classifier forward (reference stdcnet.py:196-204):
+        conv_last -> pow(2) -> GAP -> fc -> relu -> dropout -> linear.
+
+        Note ``self.bn`` is deliberately NOT applied: the reference
+        defines it (stdcnet.py:130) but ``forward_impl`` never calls it;
+        it exists here only so ``.tar`` pretrain checkpoints import
+        leaf-complete. We still touch it below so flax registers its
+        variables under both init and apply."""
         x = x.astype(self.dtype)
         for lo, hi in self._stage_slices:
             for idx in range(lo, hi):
@@ -352,7 +359,9 @@ class STDCNet813(nn.Module):
         x = jnp.square(x)
         x = jnp.mean(x, axis=(1, 2))  # global average pool
         x = self.fc(x)
-        x = self.bn(x, use_running_average=not train)
+        # register self.bn's params/stats without using its output
+        # (reference parity: defined, never called in forward_impl)
+        _ = self.bn(jax.lax.stop_gradient(x), use_running_average=True)
         x = nn.relu(x)
         x = self.drop(x, deterministic=not (train and rngs_available))
         return self.linear(x)

@@ -303,7 +303,11 @@ def test_backbone_add_variant_golden_vs_reference(tmp_path):
 def test_backbone_classifier_golden_vs_reference(tmp_path):
     """Golden parity for the ImageNet classifier head (reference
     stdcnet.py:196-204 ``forward_impl``: conv_last -> pow(2) -> GAP -> fc
-    -> BN1d -> relu -> dropout -> linear), eval mode."""
+    -> relu -> dropout -> linear -- ``self.bn`` is defined at
+    stdcnet.py:130 but never called), eval mode. The torch model's BN
+    running stats are perturbed so that wrongly applying bn in classify()
+    (a past parity bug) produces a visible divergence instead of hiding
+    behind fresh-init near-identity stats."""
     import torch
 
     sys.path.insert(0, REFERENCE_ROOT)
@@ -313,6 +317,9 @@ def test_backbone_classifier_golden_vs_reference(tmp_path):
 
     torch.manual_seed(6)
     tmodel = TorchSTDC(pretrain_model="")
+    with torch.no_grad():
+        tmodel.bn.running_mean.uniform_(-2.0, 2.0)
+        tmodel.bn.running_var.uniform_(0.1, 4.0)
     tmodel.eval()
     rng = np.random.default_rng(7)
     x = rng.standard_normal((2, 3, 64, 128)).astype(np.float32)
