@@ -73,3 +73,16 @@ class PolyLR:
                 self._current, epoch, self.max_iter, self.power
             )
         return self._current
+
+    def fast_forward(self, start_epoch: int) -> None:
+        """Replay epochs [0, start_epoch) so a resumed run continues the
+        schedule an uninterrupted run would be on.
+
+        Matters only for mode='compounding', whose state is the product
+        of every previous epoch's decay factor: without the replay a
+        --resume at epoch k would restart from base_lr and train with an
+        LR orders of magnitude above the run it claims to continue
+        (standard mode is stateless in the epoch, so this is a no-op
+        beyond setting _current)."""
+        for epoch in range(start_epoch):
+            self(epoch)

@@ -215,10 +215,14 @@ def train_da(args, g_model, d_model, g_state, d_state, g_optimizer,
     sched_g = PolyLR(args.learning_rate, args.num_epochs, mode="compounding")
     sched_d = PolyLR(args.learning_rate_D, args.num_epochs,
                      mode="compounding")
+    epoch_start = getattr(args, "epoch_start_i", 0)
+    # a resumed run must continue the compounded schedule, not restart it
+    sched_g.fast_forward(epoch_start)
+    sched_d.fast_forward(epoch_start)
     max_miou = 0.0
     step_count = 0
 
-    for epoch in range(getattr(args, "epoch_start_i", 0), args.num_epochs):
+    for epoch in range(epoch_start, args.num_epochs):
         lr_g = sched_g(epoch)
         lr_d = sched_d(epoch)
         loader_source.set_epoch(epoch)

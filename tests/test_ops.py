@@ -251,6 +251,22 @@ def test_poly_lr_modes():
         assert abs(comp(e) - lr) < 1e-12
 
 
+def test_poly_lr_fast_forward_matches_uninterrupted():
+    """A --resume at epoch k must continue the compounding schedule an
+    uninterrupted run would be on (train/adversarial.py fast-forwards
+    through the already-trained epochs), not restart from base_lr."""
+    full = PolyLR(0.01, 50, mode="compounding")
+    lrs = [full(e) for e in range(50)]
+    for k in (1, 10, 25, 49):
+        resumed = PolyLR(0.01, 50, mode="compounding")
+        resumed.fast_forward(k)
+        assert abs(resumed(k) - lrs[k]) < 1e-15
+    # the bug this guards against: an un-fast-forwarded resume at 25 is
+    # ~26x the uninterrupted LR
+    naive = PolyLR(0.01, 50, mode="compounding")
+    assert naive(25) / lrs[25] > 20
+
+
 def test_adjust_learning_rate_surface():
     """Reference train.py:122-132 (defined-never-called there): poly decay
     of the base/10x-head LR pair for G and D."""
