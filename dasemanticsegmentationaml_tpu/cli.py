@@ -116,6 +116,17 @@ def maybe_resume(args, state, alias="latest"):
     return restored, start
 
 
+def actual_hw(args):
+    """The (H, W) of the tensors the pipeline actually produces.
+
+    With --faithful_resize True (default) the reference's transposed
+    PIL.resize call is reproduced (transforms_host.pil_size_for), so the
+    tensor height is args.crop_width and vice versa."""
+    if args.faithful_resize:
+        return args.crop_width, args.crop_height
+    return args.crop_height, args.crop_width
+
+
 def build_mesh(args):
     """Mesh from the CLI flags: plain data mesh, or ('data','spatial')
     when --spatial_devices shards image height (XLA SPMD inserts the conv
@@ -133,8 +144,10 @@ def build_mesh(args):
 
     try:
         # EVERY stage of the stride-32 pyramid must keep shard-aligned
-        # rows, else XLA SPMD returns wrong gradients (see the helper)
-        check_spatial_height(args.crop_height, args.spatial_devices)
+        # rows, else XLA SPMD returns wrong gradients (see the helper).
+        # Validate the height the tensors will actually have: under
+        # --faithful_resize (default) that is crop_width, not crop_height.
+        check_spatial_height(actual_hw(args)[0], args.spatial_devices)
     except ValueError as e:
         raise SystemExit(str(e))
     if not args.sync_bn:
@@ -170,7 +183,10 @@ def main(argv=None, report_fn=None):
         remap_train = remap_val = True
         aug_train = args.aug_type
     else:
-        train_ds = None if args.domain_shift else CityScapes(
+        # neither eval-only mode nor DA (which trains on --root_source/
+        # --root_target) uses a train split from --root
+        train_ds = None if (args.domain_shift or args.domain_adaptation) \
+            else CityScapes(
             "train", args.root, args.crop_height, args.crop_width,
             faithful_resize=args.faithful_resize)
         val_ds = CityScapes("val", args.root, args.crop_height,
@@ -187,9 +203,9 @@ def main(argv=None, report_fn=None):
 
     # ---- model ------------------------------------------------------------
     model = build_model(args)
+    h_act, w_act = actual_hw(args)
     variables = init_bisenet_variables(
-        model, jax.random.PRNGKey(args.seed),
-        (1, args.crop_height, args.crop_width, 3))
+        model, jax.random.PRNGKey(args.seed), (1, h_act, w_act, 3))
     variables = load_pretrain(variables, args.pretrain_path)
 
     # ---- prepare fns -------------------------------------------------------
@@ -255,9 +271,13 @@ def main(argv=None, report_fn=None):
             from .utils.export import export_inference
             fused = (args.use_fused_eval
                      and jax.default_backend() == "tpu")
+            # export at the orientation the pipeline actually produces
+            # (under --faithful_resize the tensors are crop_width tall),
+            # so the artifact serves exactly what the printed mIoU
+            # certified
             exported = export_inference(
                 eval_model, eval_vars,
-                args.crop_height, args.crop_width,
+                h_act, w_act,
                 use_fused_kernel=fused,
                 platforms=None if fused else ("cpu", "tpu"),
                 path=args.export_model)
@@ -307,7 +327,7 @@ def main(argv=None, report_fn=None):
                   + " batch normalization...")
         d_vars = d_model.init(
             jax.random.PRNGKey(args.seed + 2),
-            jnp.zeros((1, args.crop_height, args.crop_width, n_classes)))
+            jnp.zeros((1, h_act, w_act, n_classes)))
 
         g_opt = make_optimizer("sgd", args.learning_rate,
                                momentum=args.momentum,

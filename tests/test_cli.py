@@ -198,15 +198,19 @@ def test_cli_domain_shift_eval_quantized_int8(tmp_path):
 
 
 def test_cli_domain_adaptation(tmp_path):
+    # --root is deliberately a VAL-ONLY tree: DA trains on --root_source/
+    # --root_target and must not require images/train under --root (the
+    # reference does; we claim not to inherit that)
     cs_root = str(tmp_path / "cs")
+    tgt_root = str(tmp_path / "cs_tgt")
     gta_root = str(tmp_path / "gta")
-    _mk_cityscapes(cs_root, "train")
     _mk_cityscapes(cs_root, "val", n=2)
+    _mk_cityscapes(tgt_root, "train")
     _mk_gtav(gta_root)
     save = str(tmp_path / "ck3")
     result = cli.main(COMMON + [
         "--root", cs_root, "--root_source", gta_root,
-        "--root_target", cs_root,
+        "--root_target", tgt_root,
         "--domain_adaptation", "True", "--depthwise", "True",
         "--batch_norm", "True",
         "--save_model_path", save,
@@ -250,3 +254,45 @@ def test_cli_domain_adaptation_per_replica_bn(tmp_path):
     state = read_torch_checkpoint(os.path.join(save, "GTA5_1_D1.pth"))
     bn_means = [v for k, v in state.items() if k.endswith("running_mean")]
     assert bn_means and all(v.ndim == 1 for v in bn_means)
+
+
+def test_build_mesh_spatial_guard_uses_actual_height():
+    """With --faithful_resize True (default) the tensors are crop_width
+    tall (reference's transposed PIL.resize); the spatial wrong-gradient
+    guard must validate THAT height, not crop_height."""
+    from dasemanticsegmentationaml_tpu.utils.config import parse_args
+
+    base = ["--num_devices", "8", "--spatial_devices", "4",
+            "--faithful_resize", "True"]
+    # actual H = crop_width = 130: stride-2 stage has 65 rows -> refused
+    args = parse_args(base + ["--crop_height", "128",
+                              "--crop_width", "130"])
+    with pytest.raises(SystemExit, match="spatially shardable"):
+        cli.build_mesh(args)
+    # actual H = crop_width = 128 is shardable even though crop_height
+    # (=the WIDTH of the actual tensors) is not
+    args = parse_args(base + ["--crop_height", "130",
+                              "--crop_width", "128"])
+    mesh = cli.build_mesh(args)
+    assert mesh.shape["spatial"] == 4
+
+
+def test_cli_export_orientation_matches_faithful_eval(tmp_path):
+    """--export_model under --faithful_resize True: the artifact's input
+    shape must be the orientation the eval pipeline actually produced
+    (crop_width tall x crop_height wide), so the printed mIoU certifies
+    exactly what the artifact serves."""
+    root = str(tmp_path / "cs")
+    # faithful resize of these to PIL (w,h)=(H,W)=(32,64) -> tensors 64x32
+    _mk_cityscapes(root, "val", n=2)
+    artifact = str(tmp_path / "model_f.shlo")
+    result = cli.main(common_without("--faithful_resize") + [
+        "--faithful_resize", "True",
+        "--root", root, "--domain_shift", "True",
+        "--export_model", artifact,
+    ])
+    assert 0.0 <= result["miou"] <= 1.0
+    from dasemanticsegmentationaml_tpu.utils.export import read_exported
+    exported = read_exported(artifact)
+    _b, h, w, c = exported.in_avals[0].shape
+    assert (h, w, c) == (W, H, 3)  # crop_width tall, crop_height wide
