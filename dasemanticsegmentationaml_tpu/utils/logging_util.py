@@ -36,7 +36,14 @@ class JsonlLogger:
 
 
 def make_writer(enabled: bool, comment: str = ""):
-    """tensorboardX SummaryWriter, or None."""
+    """tensorboardX SummaryWriter when installed, else the native writer.
+
+    The reference unconditionally logs TB scalars (train.py:64); this
+    image ships no tensorboardX, so without the fallback the dashboard
+    surface would silently vanish. utils/tb_writer.py writes real
+    events.out.tfevents files from scratch (TFRecord framing + Event
+    proto), so `tensorboard --logdir runs` works either way.
+    """
     if not enabled:
         return None
     try:
@@ -44,7 +51,9 @@ def make_writer(enabled: bool, comment: str = ""):
 
         return SummaryWriter(comment=comment)
     except Exception:
-        return None
+        from .tb_writer import EventWriter, default_logdir
+
+        return EventWriter(default_logdir(comment))
 
 
 class Profiler:
