@@ -440,5 +440,13 @@ def main(argv=None, report_fn=None):
     return {"precision": precision, "miou": miou, "max_miou": max_miou}
 
 
+def console_main() -> int:
+    """Entry point for the ``dseg-train`` console script (pyproject.toml):
+    ``main`` returns a metrics dict for programmatic callers, which
+    setuptools would misread as a nonzero exit status."""
+    main()
+    return 0
+
+
 if __name__ == "__main__":
     main()

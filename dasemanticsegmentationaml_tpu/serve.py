@@ -130,5 +130,13 @@ def main(argv=None):
                faithful_resize=args.faithful_resize)
 
 
+def console_main() -> int:
+    """``dseg-serve`` console entry point (pyproject.toml): ``main``
+    returns a stats dict, which setuptools would misread as a nonzero
+    exit status."""
+    main()
+    return 0
+
+
 if __name__ == "__main__":
     main()

@@ -37,3 +37,23 @@ def test_bench_functions_smoke(monkeypatch, which):
         fps = bench.bench_da_step(batch_size=1, height=64, width=128,
                                   iters=1)
     assert fps > 0
+
+
+def test_console_entry_points_resolve():
+    """pyproject.toml's console scripts must point at real callables that
+    swallow main()'s metrics-dict return (setuptools would misread a dict
+    as a nonzero exit status)."""
+    import tomllib
+
+    import dasemanticsegmentationaml_tpu.cli as cli
+    import dasemanticsegmentationaml_tpu.serve as serve
+
+    with open("pyproject.toml", "rb") as f:
+        scripts = tomllib.load(f)["project"]["scripts"]
+    for target in scripts.values():
+        mod, func = target.split(":")
+        assert mod in ("dasemanticsegmentationaml_tpu.cli",
+                       "dasemanticsegmentationaml_tpu.serve")
+        obj = {"dasemanticsegmentationaml_tpu.cli": cli,
+               "dasemanticsegmentationaml_tpu.serve": serve}[mod]
+        assert callable(getattr(obj, func))
