@@ -48,15 +48,16 @@ def bench_forward(batch_size: int, height: int = 512, width: int = 1024,
     variables = init_bisenet_variables(model, jax.random.PRNGKey(0),
                                        (1, height, width, 3))
     if int8:
-        # opt-in int8 PTQ path (BENCH_INT8=1): the measured-best 'head'
-        # preset quantizes the MXU-bound main-head 3x3 (ops/quantize.py).
+        # opt-in int8 PTQ path (BENCH_INT8=1): the measured-best 'head_ch'
+        # preset quantizes the MXU-bound main-head 3x3 plus the two
+        # single-consumer context-path head convs (ops/quantize.py).
         from dasemanticsegmentationaml_tpu.ops.quantize import (
             PRESET_FILTERS, quantize_model)
         rng_c = np.random.default_rng(7)
         calib = [jnp.asarray(rng_c.standard_normal((2, height, width, 3)),
                              jnp.bfloat16)]
-        model, variables = quantize_model(model, variables, calib,
-                                          filter_fn=PRESET_FILTERS["head"])
+        model, variables = quantize_model(
+            model, variables, calib, filter_fn=PRESET_FILTERS["head_ch"])
 
     @jax.jit
     def chained(variables, images):
@@ -168,8 +169,9 @@ def main():
     # the bench well inside the driver's budget despite ~2 min remote
     # compiles per program.
     batches = [128] if backend == "tpu" else [2]
-    # BENCH_INT8=1: measure the opt-in int8 PTQ eval path ('head' preset,
-    # measured 2745.1 vs 2659.7 bf16 img/s at bs=128 on v5e) instead of
+    # BENCH_INT8=1: measure the opt-in int8 PTQ eval path ('head_ch'
+    # preset, measured 2796-2800 vs 2659.7 bf16 img/s at bs=128 on v5e,
+    # reproduced twice incl. a back-to-back A/B vs 'head') instead of
     # the default bf16 parity path.
     int8 = os.environ.get("BENCH_INT8") == "1"
     best, best_bs = 0.0, batches[0]

@@ -51,11 +51,15 @@ _MODES = ("off", "calib", "int8")
 _HIGHRES = {"features_0", "features_1", "features_2", "features_3"}
 #: Named filter_fn presets for BiSeNet, measured on v5e at bs=128
 #: (tools/bench_int8.py; bf16 reference 2659.7 img/s):
-#:   head     2745.1 (+3.2%) -- the recommended default: the 3x3 256->256
-#:            main-head conv is MXU-bound and its input has a single
-#:            consumer, so XLA fuses the quantize into the producer
-#:   heads_cp 2722.2   all   2396.4   deep  2480.7   (concat/skip
-#:            fan-outs materialize bf16+int8 copies in HBM-bound stages)
+#:   head_ch  2796-2800 (+5.1%) -- the recommended default: the main-head
+#:            3x3 256->256 plus cp.conv_head16/32, the only convs whose
+#:            inputs AND outputs have a single live consumer on the eval
+#:            path, so XLA fuses quantize into producers with no extra
+#:            materialization
+#:   head     2745-2761 (+3.2%)   heads_cp 2722.2   head_ffm 2680.8
+#:   head_stem 2660.8 (stem int8 does NOT relieve the HBM-bound high-res
+#:            stages)   all 2396.4   deep 2480.7   (concat/skip fan-outs
+#:            materialize bf16+int8 copies in HBM-bound stages)
 PRESET_FILTERS = {
     "all": None,
     "head": lambda p: p[0] == "conv_out",
@@ -63,6 +67,18 @@ PRESET_FILTERS = {
     "backbone": lambda p: p[0] == "cp" and p[1] == "backbone",
     "deep": lambda p: not (p[0] == "cp" and p[1] == "backbone"
                            and p[2] in _HIGHRES),
+    # finer sweeps: conv_head16/32 are the only context-path convs whose
+    # outputs have a single LIVE consumer on the eval path (their aux-head
+    # consumers are dead-code-eliminated when only the main head is used)
+    "head_ch": lambda p: p[0] == "conv_out" or (
+        p[0] == "cp" and p[1] in ("conv_head16", "conv_head32")),
+    "head_ffm": lambda p: p[0] in ("conv_out", "ffm"),
+    # the stem ConvX pair (features_0/1) is the one single-consumer chain
+    # in the HBM-bound high-res stages (no Cat-block concat fan-out);
+    # int8 halves its activation bytes where the post-128 cliff lives
+    "head_stem": lambda p: p[0] == "conv_out" or (
+        p[0] == "cp" and p[1] == "backbone"
+        and p[2] in ("features_0", "features_1")),
 }
 
 

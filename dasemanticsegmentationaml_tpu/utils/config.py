@@ -120,11 +120,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--calib_batches", type=int, default=4,
                    help="val batches used to calibrate --quantize_int8 "
                         "activation scales")
-    p.add_argument("--quantize_filter", type=str, default="head",
-                   choices=["all", "head", "heads_cp", "backbone", "deep"],
+    from ..ops.quantize import PRESET_FILTERS
+    p.add_argument("--quantize_filter", type=str, default="head_ch",
+                   choices=sorted(PRESET_FILTERS),
                    help="which layers --quantize_int8 quantizes "
-                        "(ops/quantize.py PRESET_FILTERS; 'head' measured "
-                        "fastest on v5e, the rest run bf16)")
+                        "(ops/quantize.py PRESET_FILTERS; 'head_ch' "
+                        "measured fastest on v5e, the rest run bf16)")
     p.add_argument("--quantize_clip", type=str, default="absmax",
                    choices=["absmax", "p999"],
                    help="activation-scale calibration for --quantize_int8: "

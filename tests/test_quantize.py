@@ -216,6 +216,14 @@ def test_preset_filters_partition_bisenet():
     assert all(p[2] not in {"features_0", "features_1", "features_2",
                             "features_3"}
                for p in sel["deep"] if p[:2] == ("cp", "backbone"))
+    # finer sweep presets: each = head plus one specific region
+    assert sel["head_ch"] - sel["head"] == {
+        ("cp", "conv_head16"), ("cp", "conv_head32")}
+    assert sel["head"] < sel["head_ffm"]
+    assert all(p[0] == "ffm" for p in sel["head_ffm"] - sel["head"])
+    assert {p[:3] for p in sel["head_stem"] - sel["head"]} == {
+        ("cp", "backbone", "features_0"),
+        ("cp", "backbone", "features_1")}
 
 
 def test_quant_mode_off_is_default_and_param_neutral():

@@ -11,6 +11,10 @@ Variants (2nd arg) select which layers quantize via the selective
 filter_fn (the rest run the bf16 path):
   all       every conv+BN+ReLU block (35)
   head      conv_out's 3x3 256->256 only (the single biggest FLOP block)
+  head_ch   head + cp.conv_head16/32 (the only other single-live-consumer
+            convs on the eval path)
+  head_ffm  head + the FFM blocks
+  head_stem head + the stem ConvX pair (features_0/1)
   heads_cp  all heads + context-path convs (no backbone)
   backbone  backbone only
   deep      everything except the high-res stem/stage8 (features_0..3) --
@@ -18,9 +22,12 @@ filter_fn (the rest run the bf16 path):
             boundary materializations hurt most
 
 Measured (v5e, bs=128; bf16 reference 2659.7 img/s):
-  all 2396.4 (-10%)   head 2745.1 (+3.2%, best)   heads_cp 2722.2
-  deep 2480.7 -- only single-consumer boundaries win; concat/skip
-  fan-outs materialize bf16+int8 copies in the HBM-bound stages.
+  all 2396.4 (-10%)   head 2745.1/2760.9   head_ch 2796.2/2799.9
+  (+5.1%, best -- reproduced twice, incl. a back-to-back A/B vs head)
+  heads_cp 2722.2   head_ffm 2680.8   head_stem 2660.8   deep 2480.7
+  Only single-consumer boundaries win; concat/skip fan-outs materialize
+  bf16+int8 copies in the HBM-bound stages, and stem int8 does NOT
+  relieve the post-128 cliff.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site timeout 1800 \
     python tools/bench_int8.py [bs] [variant]
