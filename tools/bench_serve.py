@@ -31,7 +31,9 @@ Measured (v5e, bs=128, 2026-08-18): fused 2440.1 img/s (bit-exact vs
 live), portable 2392.5 (99.992% argmax agreement); int8 head_ch fused
 2590.9 img/s (+6.2% over bf16 fused; bit-exact vs the live quantized
 jit; 99.966% argmax agreement vs the bf16 oracle on random noise —
-real-image accuracy is what PARITY_RUNBOOK qualifies).
+real-image accuracy is what PARITY_RUNBOOK qualifies). Low-latency
+point, same symbolic-batch artifacts at bs=8: fused 1192.4 img/s
+(6.7 ms/batch), int8 1231.8 (6.5 ms/batch).
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site timeout 1800 \
     python tools/bench_serve.py [bs] [stage,stage,...]
