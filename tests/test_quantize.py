@@ -226,6 +226,20 @@ def test_preset_filters_partition_bisenet():
         ("cp", "backbone", "features_1")}
 
 
+def test_cli_accepts_every_preset_name():
+    """--quantize_filter choices derive from PRESET_FILTERS (config.py),
+    so adding a preset automatically makes it CLI-selectable."""
+    from dasemanticsegmentationaml_tpu.ops.quantize import PRESET_FILTERS
+    from dasemanticsegmentationaml_tpu.utils.config import parse_args
+
+    for name in PRESET_FILTERS:
+        assert parse_args(["--quantize_filter", name]).quantize_filter \
+            == name
+    assert parse_args([]).quantize_filter == "head_ch"  # measured-best
+    with pytest.raises(SystemExit):
+        parse_args(["--quantize_filter", "nope"])
+
+
 def test_quant_mode_off_is_default_and_param_neutral():
     model = BiSeNet(n_classes=19, dtype=jnp.float32)
     assert model.quant_mode == "off"
