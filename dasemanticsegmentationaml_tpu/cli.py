@@ -268,19 +268,42 @@ def main(argv=None, report_fn=None):
             # batch (utils/export.py). With the fused eval kernel active
             # the artifact embeds it (tpu-only, the measured-best path);
             # otherwise it lowers portably for cpu+tpu.
-            from .utils.export import export_inference
+            from .utils.export import (export_inference,
+                                       export_inference_sharded)
             fused = (args.use_fused_eval
                      and jax.default_backend() == "tpu")
             # export at the orientation the pipeline actually produces
             # (under --faithful_resize the tensors are crop_width tall),
             # so the artifact serves exactly what the printed mIoU
             # certified
-            exported = export_inference(
-                eval_model, eval_vars,
-                h_act, w_act,
-                use_fused_kernel=fused,
-                platforms=None if fused else ("cpu", "tpu"),
-                path=args.export_model)
+            if args.export_devices > 1:
+                # pod-serving artifact: batch sharded over the first N
+                # local devices (the serving host must match the count)
+                import numpy as np
+
+                from jax.sharding import Mesh
+                devs = jax.devices()
+                if len(devs) < args.export_devices:
+                    raise SystemExit(
+                        f"--export_devices {args.export_devices} but only "
+                        f"{len(devs)} devices visible")
+                mesh = Mesh(
+                    np.asarray(devs[:args.export_devices]), ("data",))
+                exported = export_inference_sharded(
+                    eval_model, eval_vars, h_act, w_act, mesh,
+                    use_fused_kernel=fused,
+                    # the shard_map (fused) route needs a concrete batch
+                    batch=(args.eval_batch_size * args.export_devices
+                           if fused else None),
+                    platforms=None if fused else ("cpu", "tpu"),
+                    path=args.export_model)
+            else:
+                exported = export_inference(
+                    eval_model, eval_vars,
+                    h_act, w_act,
+                    use_fused_kernel=fused,
+                    platforms=None if fused else ("cpu", "tpu"),
+                    path=args.export_model)
             # export_inference falls back to the portable program when
             # the kernel can't serve the shape; .platforms is the truth
             kind = ("tpu-only fused" if exported.platforms == ("tpu",)

@@ -138,6 +138,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "StableHLO serving artifact at this path "
                         "(utils/export.py; symbolic batch dim, "
                         "uint8-in/int32-labels-out, cpu+tpu)")
+    p.add_argument("--export_devices", type=int, default=1,
+                   help="batch-shard the --export_model artifact over the "
+                        "first N local devices (pod serving, "
+                        "utils/export.py::export_inference_sharded; the "
+                        "serving host must present the same device count)")
     p.add_argument("--resume", type=str, default=None,
                    help="orbax checkpoint dir to resume full train state")
     p.add_argument("--jsonl_log", type=str, default=None,

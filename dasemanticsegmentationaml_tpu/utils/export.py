@@ -122,6 +122,106 @@ def export_inference(model, variables, height: int, width: int,
     return exported
 
 
+def export_inference_sharded(model, variables, height: int, width: int,
+                             mesh, batch: Optional[int] = None,
+                             preprocess: bool = True,
+                             use_fused_kernel: bool = False,
+                             platforms: Optional[Sequence[str]] = None,
+                             path: Optional[str] = None
+                             ) -> jax_export.Exported:
+    """Pod-serving artifact: the eval forward batch-sharded over ``mesh``.
+
+    Batch-parallel inference is embarrassingly parallel (eval-mode BN
+    uses running stats, so no cross-device collectives). Two lowering
+    routes, chosen by ``use_fused_kernel``:
+
+    * pure-XLA (default): ``jit`` with batch in/out shardings — GSPMD
+      partitions every op over the mesh's first axis. The batch stays
+      the symbolic ``mesh.size * b`` (unless a concrete ``batch`` is
+      given), so one artifact serves any multiple of the mesh size.
+    * ``use_fused_kernel=True``: the Pallas upsample+argmax custom call
+      is opaque to GSPMD, so the serving fn is wrapped in ``shard_map``
+      — each device runs the whole model, kernel included, on its local
+      shard. shard_map bodies cannot be shape-refined symbolically at
+      call time (measured here: the refiner rejects the module), so
+      this route REQUIRES a concrete ``batch`` divisible by the mesh
+      size.
+
+    The exported module records the device count and shardings
+    (``exported.nr_devices == mesh.size``). The serving host rebuilds a
+    same-size 1-axis mesh and feeds an array sharded on dim 0::
+
+        exp = read_exported("pod.shlo")
+        mesh = Mesh(np.array(jax.devices())[:exp.nr_devices], ("data",))
+        sh = NamedSharding(mesh, PartitionSpec("data"))
+        labels = exp.call(jax.device_put(images_u8, sh))
+
+    The single-chip ``export_inference`` remains the right artifact for
+    one device; this is the ICI-scale variant (reference analogue:
+    nn.DataParallel wrapping the eval model, train.py:145-152,511).
+    """
+    import inspect
+
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    axis = mesh.axis_names[0]
+    n = int(mesh.devices.size)
+    if batch is not None and batch % n:
+        raise ValueError(f"batch {batch} not divisible by the "
+                         f"{n}-device mesh")
+    serve = make_serving_fn(model, variables, preprocess=preprocess,
+                            use_fused_kernel=use_fused_kernel)
+    sh = NamedSharding(mesh, PartitionSpec(axis))
+    if use_fused_kernel:
+        if platforms is not None and tuple(platforms) != ("tpu",):
+            raise ValueError("use_fused_kernel artifacts are tpu-only "
+                             f"(Mosaic custom call); got {platforms}")
+        if batch is None:
+            raise ValueError("use_fused_kernel + mesh needs a concrete "
+                             "batch (shard_map modules cannot be "
+                             "shape-refined symbolically)")
+        platforms = ("tpu",)
+        try:  # jax>=0.4.35 moved shard_map out of experimental
+            from jax import shard_map
+        except ImportError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+        # the replication-check kwarg was renamed check_rep->check_vma;
+        # either way it must be off (the serving fn closes over the
+        # frozen weights, which the checker flags as captures)
+        check_kw = ("check_vma" if "check_vma"
+                    in inspect.signature(shard_map).parameters
+                    else "check_rep")
+        fn = shard_map(serve, mesh=mesh, in_specs=(PartitionSpec(axis),),
+                       out_specs=PartitionSpec(axis), **{check_kw: False})
+    else:
+        fn = serve  # GSPMD partitions the plain fn via the shardings
+    jf = jax.jit(fn, in_shardings=(sh,), out_shardings=sh)
+    if batch is None:
+        (b,) = jax_export.symbolic_shape(f"{n}*b")
+    else:
+        b = batch
+    in_dtype = jnp.uint8 if preprocess else model.dtype
+    spec = jax.ShapeDtypeStruct((b, height, width, 3), in_dtype,
+                                sharding=sh)
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    exported = jax_export.export(jf, **kwargs)(spec)
+    if use_fused_kernel and "tpu_custom_call" not in exported.mlir_module():
+        # same honesty rule as export_inference: if the kernel quietly
+        # took its XLA fallback, don't ship a 'tpu'-pinned program
+        return export_inference_sharded(model, variables, height, width,
+                                        mesh, batch=batch,
+                                        preprocess=preprocess,
+                                        use_fused_kernel=False,
+                                        platforms=("cpu", "tpu"),
+                                        path=path)
+    if path is not None:
+        with open(path, "wb") as f:
+            f.write(exported.serialize())
+    return exported
+
+
 def read_exported(path: str) -> jax_export.Exported:
     """Deserialize an ``export_inference`` artifact (shape/dtype metadata
     in ``.in_avals``, execution via ``.call``)."""

@@ -197,6 +197,40 @@ def test_cli_domain_shift_eval_quantized_int8(tmp_path):
     assert pred.shape == (1, H, W) and pred.dtype == np.int32
 
 
+def test_cli_export_devices_pod_artifact(tmp_path):
+    """--export_devices 8: the CLI exports a batch-sharded pod-serving
+    artifact over the 8-device (virtual CPU) mesh; it replays on a
+    matching mesh and agrees with the single-device artifact."""
+    root = str(tmp_path / "cs")
+    _mk_cityscapes(root, "val", n=2)
+    pod = str(tmp_path / "pod.shlo")
+    single = str(tmp_path / "single.shlo")
+    cli.main(COMMON + [
+        "--root", root, "--domain_shift", "True",
+        "--export_model", single,
+    ])
+    cli.main(COMMON + [
+        "--root", root, "--domain_shift", "True",
+        "--export_model", pod, "--export_devices", "8",
+    ])
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from dasemanticsegmentationaml_tpu.utils.export import (
+        load_exported, read_exported)
+
+    exp = read_exported(pod)
+    assert exp.nr_devices == 8
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+    sh = NamedSharding(mesh, P("data"))
+    imgs = np.random.default_rng(0).integers(
+        0, 256, (8, H, W, 3)).astype(np.uint8)
+    got = np.asarray(exp.call(jax.device_put(jnp.asarray(imgs), sh)))
+    ref = np.asarray(load_exported(single)(imgs))
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_cli_domain_adaptation(tmp_path):
     # --root is deliberately a VAL-ONLY tree: DA trains on --root_source/
     # --root_target and must not require images/train under --root (the

@@ -157,3 +157,41 @@ def test_export_fused_kernel_tpu_only(small_model, tmp_path):
     with pytest.raises(ValueError, match="tpu-only"):
         export_inference(model, v, 32, 64, use_fused_kernel=True,
                          platforms=("cpu", "tpu"))
+
+
+def test_export_sharded_pod_artifact(small_model, tmp_path):
+    """export_inference_sharded: the eval forward batch-sharded over an
+    8-device mesh (GSPMD route, symbolic N*b batch) — bit-exact vs the
+    single-device artifact, serialize round-trip, serves two batch
+    sizes; indivisible batches are rejected."""
+    from jax import export as jax_export
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from dasemanticsegmentationaml_tpu.utils.export import (
+        export_inference_sharded)
+
+    model, v = small_model
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+    path = str(tmp_path / "pod.shlo")
+    exported = export_inference_sharded(model, v, 32, 64, mesh,
+                                        platforms=("cpu", "tpu"),
+                                        path=path)
+    assert exported.nr_devices == 8
+    with open(path, "rb") as f:
+        again = jax_export.deserialize(f.read())
+    sh = NamedSharding(mesh, P("data"))
+    rng = np.random.default_rng(5)
+    ref_serve = export_inference(model, v, 32, 64, platforms=("cpu",))
+    for bs in (8, 24):  # one artifact, multiple multiples of the mesh
+        imgs = jnp.asarray(rng.integers(0, 256, (bs, 32, 64, 3)),
+                           jnp.uint8)
+        got = np.asarray(again.call(jax.device_put(imgs, sh)))
+        assert got.shape == (bs, 32, 64)
+        np.testing.assert_array_equal(got, np.asarray(ref_serve.call(imgs)))
+
+    with pytest.raises(ValueError, match="not divisible"):
+        export_inference_sharded(model, v, 32, 64, mesh, batch=12)
+    # the shard_map (fused-kernel) route cannot refine symbolic shapes
+    with pytest.raises(ValueError, match="concrete batch"):
+        export_inference_sharded(model, v, 32, 64, mesh,
+                                 use_fused_kernel=True)
