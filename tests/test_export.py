@@ -195,3 +195,24 @@ def test_export_sharded_pod_artifact(small_model, tmp_path):
     with pytest.raises(ValueError, match="concrete batch"):
         export_inference_sharded(model, v, 32, 64, mesh,
                                  use_fused_kernel=True)
+
+
+def test_export_sharded_fused_lowering(small_model):
+    """The fused-kernel pod route (shard_map around the Pallas custom
+    call, concrete batch) lowers and serializes from a CPU host: each
+    device's shard runs the whole model + Mosaic kernel."""
+    from jax import export as jax_export
+    from jax.sharding import Mesh
+
+    from dasemanticsegmentationaml_tpu.utils.export import (
+        export_inference_sharded)
+
+    model, v = small_model
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+    exported = export_inference_sharded(model, v, 32, 64, mesh, batch=16,
+                                        use_fused_kernel=True)
+    assert exported.platforms == ("tpu",)
+    assert exported.nr_devices == 8
+    assert "tpu_custom_call" in exported.mlir_module()
+    again = jax_export.deserialize(exported.serialize())
+    assert again.in_avals[0].shape == (16, 32, 64, 3)
