@@ -49,6 +49,27 @@ def run(artifact: str, images_dir: str, output_dir: str,
     if isinstance(b, int):  # static-batch artifact dictates the batch
         batch_size = b
 
+    call = exported.call
+    if exported.nr_devices > 1:
+        # pod artifact (utils/export.py::export_inference_sharded): the
+        # batch is sharded on dim 0 over a 1-axis mesh of the same size;
+        # rebuild it from the local devices and feed sharded arrays
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        devs = jax.devices()
+        if len(devs) < exported.nr_devices:
+            raise SystemExit(
+                f"pod artifact needs {exported.nr_devices} devices, this "
+                f"host presents {len(devs)}")
+        mesh = Mesh(np.asarray(devs[:exported.nr_devices]), ("data",))
+        sh = NamedSharding(mesh, PartitionSpec("data"))
+        if not isinstance(b, int):
+            # symbolic N*b batch: concrete batches must divide evenly
+            n = exported.nr_devices
+            batch_size = -(-batch_size // n) * n
+        call = lambda frames: exported.call(jax.device_put(frames, sh))
+
     paths = list_images(images_dir)
     if not paths:
         raise SystemExit(f"no images under {images_dir}")
@@ -96,7 +117,7 @@ def run(artifact: str, images_dir: str, output_dir: str,
             frames = pending.result()
             if i + 1 < len(chunks):
                 pending = pool.submit(decode_chunk, chunks[i + 1])
-            preds = np.asarray(exported.call(frames))[:len(chunk)]
+            preds = np.asarray(call(frames))[:len(chunk)]
             for path, pred in zip(chunk, preds):
                 Image.fromarray(pred.astype(np.uint8), mode="L").save(
                     out_name(path, "_trainIds"))

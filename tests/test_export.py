@@ -216,3 +216,39 @@ def test_export_sharded_fused_lowering(small_model):
     assert "tpu_custom_call" in exported.mlir_module()
     again = jax_export.deserialize(exported.serialize())
     assert again.in_avals[0].shape == (16, 32, 64, 3)
+
+
+def test_serve_runner_pod_artifact(small_model, tmp_path):
+    """serve.py detects a pod artifact (nr_devices > 1), rebuilds the
+    mesh, rounds the batch up to a mesh multiple, and produces the same
+    predictions as the live model."""
+    from PIL import Image
+
+    from dasemanticsegmentationaml_tpu import serve
+    from dasemanticsegmentationaml_tpu.utils.export import (
+        export_inference_sharded)
+    from jax.sharding import Mesh
+
+    model, v = small_model
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+    path = str(tmp_path / "pod.shlo")
+    export_inference_sharded(model, v, 32, 64, mesh,
+                             platforms=("cpu", "tpu"), path=path)
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(7)
+    arrs = [rng.integers(0, 256, (32, 64, 3), dtype=np.uint8)
+            for _ in range(3)]
+    for i, a in enumerate(arrs):
+        Image.fromarray(a).save(img_dir / f"f{i}.png")
+    out_dir = tmp_path / "out"
+    stats = serve.main([path, "--images", str(img_dir), "--output",
+                        str(out_dir), "--batch_size", "2"])
+    assert stats["images"] == 3
+
+    live = make_serving_fn(model, v)
+    for i, a in enumerate(arrs):
+        pred = np.asarray(Image.open(out_dir / f"f{i}_trainIds.png"))
+        want = np.asarray(live(jnp.asarray(a[None])))[0]
+        np.testing.assert_array_equal(pred, want)
