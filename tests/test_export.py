@@ -252,3 +252,28 @@ def test_serve_runner_pod_artifact(small_model, tmp_path):
         pred = np.asarray(Image.open(out_dir / f"f{i}_trainIds.png"))
         want = np.asarray(live(jnp.asarray(a[None])))[0]
         np.testing.assert_array_equal(pred, want)
+
+
+def test_export_sharded_quantized(small_model, tmp_path):
+    """int8 PTQ composes with the pod route (both pure XLA): a quantized
+    model exports batch-sharded and replays exactly."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from dasemanticsegmentationaml_tpu.ops.quantize import (
+        PRESET_FILTERS, quantize_model)
+    from dasemanticsegmentationaml_tpu.utils.export import (
+        export_inference_sharded)
+
+    model, v = small_model
+    rng = np.random.default_rng(9)
+    calib = [jnp.asarray(rng.standard_normal((1, 32, 64, 3)), jnp.float32)]
+    qm, qv = quantize_model(model, v, calib,
+                            filter_fn=PRESET_FILTERS["head_ch"])
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+    exported = export_inference_sharded(qm, qv, 32, 64, mesh,
+                                        platforms=("cpu", "tpu"))
+    sh = NamedSharding(mesh, P("data"))
+    imgs = jnp.asarray(rng.integers(0, 256, (8, 32, 64, 3)), jnp.uint8)
+    got = np.asarray(exported.call(jax.device_put(imgs, sh)))
+    np.testing.assert_array_equal(
+        got, np.asarray(make_serving_fn(qm, qv)(imgs)))
