@@ -108,7 +108,7 @@ def run(artifact: str, images_dir: str, output_dir: str,
 
     chunks = [paths[s:s + batch_size]
               for s in range(0, len(paths), batch_size)]
-    n_done, t0 = 0, time.perf_counter()
+    n_done, t0, t_first = 0, time.perf_counter(), 0.0
     with futures.ThreadPoolExecutor(max_workers=1) as pool:
         # one-chunk decode lookahead: the host decodes chunk k+1 while
         # the device runs chunk k (the data Loader's overlap pattern)
@@ -118,6 +118,8 @@ def run(artifact: str, images_dir: str, output_dir: str,
             if i + 1 < len(chunks):
                 pending = pool.submit(decode_chunk, chunks[i + 1])
             preds = np.asarray(call(frames))[:len(chunk)]
+            if i == 0:
+                t_first = time.perf_counter() - t0
             for path, pred in zip(chunk, preds):
                 Image.fromarray(pred.astype(np.uint8), mode="L").save(
                     out_name(path, "_trainIds"))
@@ -126,8 +128,14 @@ def run(artifact: str, images_dir: str, output_dir: str,
                         out_name(path, "_color"))
             n_done += len(chunk)
     dt = time.perf_counter() - t0
+    # the first batch absorbs the artifact's one-time compile (minutes on
+    # a remote-compile TPU stack), so report it separately from the
+    # steady-state rate the remaining batches ran at
+    steady = n_done - len(chunks[0])
+    rate = (f", then {steady / (dt - t_first):.1f} img/s steady-state"
+            if steady and dt > t_first else "")
     print(f"served {n_done} images in {dt:.2f}s "
-          f"({n_done / dt:.1f} img/s incl. decode+IO)")
+          f"(first batch {t_first:.2f}s incl. one-time compile{rate})")
     return {"images": n_done, "seconds": dt}
 
 
