@@ -19,6 +19,7 @@ normalization + remap happen on device (data/pipeline.py).
 
 from __future__ import annotations
 
+import math
 import os
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
@@ -153,18 +154,20 @@ class Subset:
 def train_val_split(n: int, train_size: float = 0.75, seed: int = 42):
     """Exact reproduction of the reference's
     ``sklearn.train_test_split(range(n), train_size=0.75, random_state=42,
-    shuffle=True)`` (reference train.py:458)."""
-    try:
-        from sklearn.model_selection import train_test_split
+    shuffle=True)`` (reference train.py:458) without the sklearn dependency.
 
-        tr, va = train_test_split(range(n), train_size=train_size,
-                                  random_state=seed, shuffle=True)
-        return list(tr), list(va)
-    except ImportError:  # sklearn-free fallback (not bit-identical)
-        rng = np.random.RandomState(seed)
-        perm = rng.permutation(n)
-        n_train = int(np.floor(train_size * n))
-        return list(perm[:n_train]), list(perm[n_train:])
+    sklearn's shuffle split is ``RandomState(seed).permutation(n)`` with
+    test = the first ``ceil((1-train_size)*n)`` entries and train = the next
+    ``floor(train_size*n)`` (sklearn ShuffleSplit._iter_indices semantics).
+    tests/test_data.py pins bit-identity against the real sklearn across
+    sizes, so a sklearn-less environment trains on the SAME 75/25 split.
+    """
+    rng = np.random.RandomState(seed)
+    perm = rng.permutation(n)
+    n_test = int(math.ceil((1.0 - train_size) * n))
+    n_train = int(math.floor(train_size * n))
+    return ([int(i) for i in perm[n_test:n_test + n_train]],
+            [int(i) for i in perm[:n_test]])
 
 
 @dataclass

@@ -137,12 +137,17 @@ def test_gtav_scan(tmp_path):
 
 
 def test_train_val_split_matches_sklearn():
+    # The split is now sklearn-free; pin bit-identity against the real
+    # sklearn across sizes (incl. odd n where ceil/floor rounding matters)
+    # so any env trains on the reference's exact 75/25 split.
     from sklearn.model_selection import train_test_split
 
-    tr, va = train_val_split(100)
-    tr2, va2 = train_test_split(range(100), train_size=0.75,
-                                random_state=42, shuffle=True)
-    assert tr == list(tr2) and va == list(va2)
+    for n in (7, 10, 100, 1663, 2500):
+        tr, va = train_val_split(n)
+        tr2, va2 = train_test_split(range(n), train_size=0.75,
+                                    random_state=42, shuffle=True)
+        assert tr == list(tr2) and va == list(va2)
+        assert len(tr) + len(va) == n
 
 
 # ------------------------------------------------------------------ loader
