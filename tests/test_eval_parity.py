@@ -1,0 +1,132 @@
+"""THE end-to-end eval-parity oracle (VERDICT round-2 item #1).
+
+Runs the REFERENCE's actual evaluation code (train.py:24-61 val() +
+dataset/cityscapes.py CityScapes + utils.py metrics, imported from
+/root/reference and executed under torch CPU) over a synthetic Cityscapes
+tree with a checkpoint exported by our writer, then runs OUR CLI
+`--domain_shift` over the same tree + checkpoint, and asserts the two
+frameworks report the SAME precision and mIoU.
+
+This is one number produced by both frameworks through their WHOLE
+pipelines — directory scan -> sorted pairing -> decode -> (faithful
+transposed) PIL resize -> normalize -> forward -> argmax ->
+fast_hist/per_class_iu + the accuracy-counts-255-as-wrong quirk — and is
+the strongest buildable proxy for the blocked real-Cityscapes parity runs
+(PARITY_RUNBOOK.md; tools/reference_eval.py is the same harness pointed at
+real data).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from conftest import requires_reference
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from dasemanticsegmentationaml_tpu import cli
+from dasemanticsegmentationaml_tpu.models import BiSeNet
+from dasemanticsegmentationaml_tpu.models.bisenet import (
+    init_bisenet_variables,
+)
+from dasemanticsegmentationaml_tpu.utils.torch_io import (
+    variables_to_torch_state,
+    write_torch_checkpoint,
+)
+
+# Source images bigger than the crop so the (transposed, faithful) PIL
+# bilinear/nearest resize path is genuinely exercised on both sides.
+SRC_H, SRC_W = 96, 192
+CROP_H, CROP_W = 64, 128
+
+
+def _mk_val_tree(root, n=3):
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    os.makedirs(os.path.join(root, "images", "val", "city"), exist_ok=True)
+    os.makedirs(os.path.join(root, "gtFine", "val", "city"), exist_ok=True)
+    for i in range(n):
+        # smooth-ish image: low-res noise upsampled, so predictions have
+        # spatial structure rather than pure pixel noise
+        base = rng.integers(0, 255, (12, 24, 3), dtype=np.uint8)
+        img = np.array(Image.fromarray(base).resize((SRC_W, SRC_H),
+                                                    Image.BILINEAR))
+        Image.fromarray(img).save(
+            os.path.join(root, "images", "val", "city", f"c_{i:03d}.png"))
+        lab = rng.integers(0, 19, (SRC_H, SRC_W), dtype=np.uint8)
+        # sprinkle ignore pixels: exercises the 255-masked mIoU vs the
+        # 255-counted-wrong accuracy quirk (reference utils.py:151-172)
+        lab[rng.random((SRC_H, SRC_W)) < 0.1] = 255
+        Image.fromarray(lab, mode="L").save(
+            os.path.join(root, "gtFine", "val", "city",
+                         f"c_{i:03d}_labelTrainIds.png"))
+
+
+def _export_checkpoint(path, logit_scale=8.0, seed=0):
+    """Random-init our fp32 BiSeNet, scale the three head output convs by
+    `logit_scale` (widens argmax margins so the oracle is not a coin-flip
+    on sub-1e-5 cross-framework fp differences at near-tied pixels — the
+    pipelines under test are unaffected), export as a reference-named .pth.
+    """
+    model = BiSeNet(n_classes=19, dtype=jnp.float32)
+    variables = init_bisenet_variables(model, jax.random.PRNGKey(seed),
+                                       (1, CROP_H, CROP_W, 3))
+    params = jax.device_get(variables)
+    state = variables_to_torch_state(params)
+    for k in list(state):
+        if "conv_out" in k and k.endswith(("conv.weight", "conv.bias")) \
+                and "conv_out" in k.split(".")[0]:
+            state[k] = state[k] * logit_scale
+    write_torch_checkpoint(path, state)
+    return state
+
+
+@requires_reference
+def test_domain_shift_miou_equals_reference_val(tmp_path):
+    from reference_eval import run_reference_val
+
+    root = str(tmp_path / "cs")
+    _mk_val_tree(root)
+    ckpt = str(tmp_path / "export.pth")
+    _export_checkpoint(ckpt)
+
+    ref_precision, ref_miou = run_reference_val(
+        root, ckpt, CROP_H, CROP_W, num_classes=19)
+
+    result = cli.main([
+        "--root", root, "--dataset", "Cityspaces",
+        "--domain_shift", "True", "--pretrain_path", ckpt,
+        "--crop_height", str(CROP_H), "--crop_width", str(CROP_W),
+        "--dtype", "float32", "--use_fused_eval", "False",
+        "--faithful_resize", "True", "--tensorboard", "False",
+        "--num_workers", "1", "--num_devices", "1",
+        "--eval_batch_size", "1",
+        "--save_model_path", str(tmp_path / "ck"),
+    ])
+
+    assert ref_miou > 0.0  # non-degenerate oracle
+    assert abs(result["miou"] - ref_miou) <= 1e-6, (
+        f"mIoU mismatch: ours {result['miou']!r} vs reference {ref_miou!r}")
+    assert abs(result["precision"] - ref_precision) <= 1e-6, (
+        f"precision mismatch: ours {result['precision']!r} "
+        f"vs reference {ref_precision!r}")
+
+
+@requires_reference
+def test_reference_val_harness_is_deterministic(tmp_path):
+    """The oracle itself must be stable run-to-run (same tree, same ckpt)."""
+    from reference_eval import run_reference_val
+
+    root = str(tmp_path / "cs")
+    _mk_val_tree(root, n=2)
+    ckpt = str(tmp_path / "export.pth")
+    _export_checkpoint(ckpt, seed=1)
+    a = run_reference_val(root, ckpt, CROP_H, CROP_W)
+    b = run_reference_val(root, ckpt, CROP_H, CROP_W)
+    assert a == b
