@@ -49,6 +49,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.losses import bce_with_logits, cross_entropy_ignore
 from ..ops.resize import resize_bilinear_align_corners
@@ -227,7 +228,7 @@ def train_da(args, g_model, d_model, g_state, d_state, g_optimizer,
         lr_d = sched_d(epoch)
         loader_source.set_epoch(epoch)
         loader_target.set_epoch(epoch)
-        seg_losses, adv_losses = [], []
+        seg_losses, adv_losses, step_losses = [], [], []
         t0 = time.time()
         n_images = 0
         max_steps = getattr(args, "max_steps_per_epoch", None)
@@ -256,16 +257,27 @@ def train_da(args, g_model, d_model, g_state, d_state, g_optimizer,
             seg_losses.append(metrics["loss_G"])
             adv_losses.append(metrics["loss_adv"])
             if writer is not None:
-                writer.add_scalar("loss_step", float(metrics["loss"]),
-                                  step_count)
-                writer.add_scalar("loss_G", float(metrics["loss_G"]),
-                                  step_count)
-                writer.add_scalar("loss_adv", float(metrics["loss_adv"]),
-                                  step_count)
+                step_losses.append(metrics["loss"])
         jax.block_until_ready(g_state.params)
         dt = time.time() - t0
-        mean_g = float(jnp.mean(jnp.stack(seg_losses))) if seg_losses else 0.0
-        mean_d = float(jnp.mean(jnp.stack(adv_losses))) if adv_losses else 0.0
+        # ONE host readback per epoch (see train/supervised.py): per-step
+        # float(metrics[...]) would sync the device every step; the
+        # per-step TB scalars flush from stacked readbacks instead.
+        seg_h = (np.asarray(jnp.stack(seg_losses)) if seg_losses
+                 else np.zeros(0, np.float32))
+        adv_h = (np.asarray(jnp.stack(adv_losses)) if adv_losses
+                 else np.zeros(0, np.float32))
+        if writer is not None and step_losses:
+            step_h = np.asarray(jnp.stack(step_losses))
+            first_step = step_count - len(step_losses) + 1
+            for i in range(len(step_losses)):
+                writer.add_scalar("loss_step", float(step_h[i]),
+                                  first_step + i)
+                writer.add_scalar("loss_G", float(seg_h[i]), first_step + i)
+                writer.add_scalar("loss_adv", float(adv_h[i]),
+                                  first_step + i)
+        mean_g = float(seg_h.mean()) if seg_losses else 0.0
+        mean_d = float(adv_h.mean()) if adv_losses else 0.0
         print("iter = {0:1d}/{1}, loss_seg = {2:.3f} loss_D1 = {3:.3f}"
               .format(epoch, args.num_epochs, mean_g, mean_d))
         if logger is not None:

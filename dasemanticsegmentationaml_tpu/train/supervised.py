@@ -27,6 +27,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.losses import cross_entropy_ignore, ohem_cross_entropy
 from ..ops.schedules import PolyLR
@@ -159,12 +160,19 @@ def train(args, model, state: TrainState, optimizer, loader_train,
             step_count += 1
             losses.append(loss)
             n_images += images.shape[0]
-            if writer is not None:
-                writer.add_scalar("loss_step", float(loss), step_count)
         jax.block_until_ready(state.params)
         dt = time.time() - t0
-        loss_train_mean = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
+        # ONE host readback per epoch: a per-step float(loss) would force
+        # a device sync (a tunnel round trip on remote TPU) every step and
+        # defeat device_prefetch; the per-step TB scalars are flushed here
+        # from the same stacked readback instead (identical tags/values).
+        losses_host = (np.asarray(jnp.stack(losses)) if losses
+                       else np.zeros(0, np.float32))
+        loss_train_mean = float(losses_host.mean()) if losses else 0.0
         if writer is not None:
+            first_step = step_count - len(losses) + 1
+            for i, lv in enumerate(losses_host):
+                writer.add_scalar("loss_step", float(lv), first_step + i)
             writer.add_scalar("epoch/loss_epoch_train", loss_train_mean,
                               epoch)
         if logger is not None:
