@@ -41,6 +41,28 @@ def _trial_command(args_list: List[str]) -> List[str]:
             "dasemanticsegmentationaml_tpu.hpo.trial"] + args_list
 
 
+def build_nni_experiment_config(static_args: Optional[List[str]] = None,
+                                max_trials: int = 10, concurrency: int = 1,
+                                max_hours: float = 12.0,
+                                code_dir: Optional[str] = None) -> Dict:
+    """Pure construction of the NNI Experiment settings (reference
+    experiment_nni.py:117-143) — unit-testable without nni installed.
+
+    Notably includes every forwarded trial flag (the reference's
+    trial_command drops --aug_type, experiment_nni.py:130-136)."""
+    return {
+        "trial_command": " ".join(_trial_command(list(static_args or []))),
+        "trial_code_directory": code_dir or os.getcwd(),
+        "search_space": SEARCH_SPACE,
+        "tuner_name": "Anneal",
+        "tuner_class_args": {"optimize_mode": "maximize"},
+        "max_trial_number": max_trials,
+        "trial_concurrency": concurrency,
+        "max_experiment_duration": f"{max_hours}h",
+        "ports": list(range(8030, 8090)),  # reference's scan range
+    }
+
+
 def run_experiment(static_args: Optional[List[str]] = None,
                    max_trials: int = 10, concurrency: int = 1,
                    max_hours: float = 12.0, seed: int = 0,
@@ -51,20 +73,22 @@ def run_experiment(static_args: Optional[List[str]] = None,
     if use_nni is None:
         use_nni = _nni_available()
 
+    cfg = build_nni_experiment_config(static_args, max_trials, concurrency,
+                                      max_hours)
     if use_nni:  # pragma: no cover - nni not in the test image
         from nni.experiment import Experiment
 
         exp = Experiment("local")
-        exp.config.trial_command = " ".join(_trial_command(static_args))
-        exp.config.trial_code_directory = os.getcwd()
-        exp.config.search_space = SEARCH_SPACE
-        exp.config.tuner.name = "Anneal"
-        exp.config.tuner.class_args = {"optimize_mode": "maximize"}
-        exp.config.max_trial_number = max_trials
-        exp.config.trial_concurrency = concurrency
-        exp.config.max_experiment_duration = f"{max_hours}h"
+        exp.config.trial_command = cfg["trial_command"]
+        exp.config.trial_code_directory = cfg["trial_code_directory"]
+        exp.config.search_space = cfg["search_space"]
+        exp.config.tuner.name = cfg["tuner_name"]
+        exp.config.tuner.class_args = cfg["tuner_class_args"]
+        exp.config.max_trial_number = cfg["max_trial_number"]
+        exp.config.trial_concurrency = cfg["trial_concurrency"]
+        exp.config.max_experiment_duration = cfg["max_experiment_duration"]
         last_err = None
-        for port in range(8030, 8090):
+        for port in cfg["ports"]:
             try:
                 exp.run(port)
                 return {"nni": True, "port": port}
@@ -93,7 +117,20 @@ def run_experiment(static_args: Optional[List[str]] = None,
             "--nni_params", json.dumps(params),
             "--nni_output", out_path,
         ])
-        proc = subprocess.run(cmd, capture_output=True, text=True)
+        # Per-trial timeout derived from the experiment deadline: without
+        # it one wedged trial runs forever and defeats the max_hours cap
+        # the reference had (its NNI daemon enforced the cap; a bare
+        # subprocess.run does not). subprocess.run kills the child on
+        # expiry; the trial is recorded as timed out and the sweep moves
+        # on.
+        remaining = deadline - time.time()
+        if remaining <= 0:
+            return params, 0.0, None, True
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=remaining)
+        except subprocess.TimeoutExpired:
+            return params, 0.0, None, True
         miou = 0.0
         if proc.returncode == 0 and os.path.exists(out_path):
             with open(out_path) as f:
@@ -101,7 +138,7 @@ def run_experiment(static_args: Optional[List[str]] = None,
                     rec = json.loads(line)
                     if rec.get("type") == "final":
                         miou = float(rec["value"])
-        return params, miou, proc
+        return params, miou, proc, False
 
     concurrency = max(1, int(concurrency))
     with ThreadPoolExecutor(max_workers=concurrency) as ex:
@@ -119,9 +156,14 @@ def run_experiment(static_args: Optional[List[str]] = None,
             done, _ = wait(pending, return_when=FIRST_COMPLETED)
             for fut in done:
                 trial_id, params = pending.pop(fut)
+                timed_out = False
                 try:
-                    _, miou, proc = fut.result()
-                    if proc.returncode != 0:
+                    _, miou, proc, timed_out = fut.result()
+                    if timed_out:
+                        print(f"trial {trial_id} timed out (experiment "
+                              "deadline); killed and recorded",
+                              file=sys.stderr)
+                    elif proc.returncode != 0:
                         print(f"trial {trial_id} failed:\n"
                               f"{proc.stderr[-2000:]}", file=sys.stderr)
                 except Exception as e:
@@ -133,7 +175,7 @@ def run_experiment(static_args: Optional[List[str]] = None,
                     miou = 0.0
                 tuner.receive_trial_result(params, miou)
                 trials.append({"id": trial_id, "params": params,
-                               "miou": miou})
+                               "miou": miou, "timed_out": timed_out})
                 with open(results_path, "a") as f:
                     f.write(json.dumps(trials[-1]) + "\n")
 
