@@ -276,7 +276,34 @@ def main(argv=None, report_fn=None):
             # (under --faithful_resize the tensors are crop_width tall),
             # so the artifact serves exactly what the printed mIoU
             # certified
-            if args.export_devices > 1:
+            if args.export_batches:
+                # multi-batch bundle: one concrete-batch program per
+                # requested size in one zip (serve.py picks the best fit
+                # per chunk) — lifts the fused/pod routes' single-batch
+                # pin (utils/export.py::export_inference_bundle)
+                import numpy as np
+
+                from jax.sharding import Mesh
+
+                from .utils.export import export_inference_bundle
+                batches = [int(x) for x in
+                           args.export_batches.split(",") if x]
+                mesh = None
+                if args.export_devices > 1:
+                    devs = jax.devices()
+                    if len(devs) < args.export_devices:
+                        raise SystemExit(
+                            f"--export_devices {args.export_devices} but "
+                            f"only {len(devs)} devices visible")
+                    mesh = Mesh(np.asarray(devs[:args.export_devices]),
+                                ("data",))
+                progs = export_inference_bundle(
+                    eval_model, eval_vars, h_act, w_act, batches,
+                    mesh=mesh, use_fused_kernel=fused,
+                    platforms=None if fused else ("cpu", "tpu"),
+                    path=args.export_model)
+                exported = progs[max(progs)]
+            elif args.export_devices > 1:
                 # pod-serving artifact: batch sharded over the first N
                 # local devices (the serving host must match the count)
                 import numpy as np

@@ -24,7 +24,7 @@ from typing import List
 import numpy as np
 
 from .data.transforms_host import load_image
-from .utils.export import read_exported
+from .utils.export import is_bundle, read_exported, read_exported_bundle
 
 _EXTS = (".png", ".jpg", ".jpeg")
 
@@ -40,7 +40,19 @@ def list_images(root: str) -> List[str]:
 def run(artifact: str, images_dir: str, output_dir: str,
         batch_size: int = 8, color: bool = False,
         faithful_resize: bool = False) -> dict:
-    exported = read_exported(artifact)
+    if is_bundle(artifact):
+        # multi-batch bundle (utils/export.py::export_inference_bundle):
+        # one concrete-batch program per size; the steady state uses the
+        # largest size <= --batch_size and the ragged tail the smallest
+        # program that fits, minimizing padding for fused (concrete-
+        # batch-only) artifacts
+        bundle = read_exported_bundle(artifact)
+        fitting = [bb for bb in bundle if bb <= batch_size]
+        batch_size = max(fitting) if fitting else min(bundle)
+        exported = bundle[batch_size]
+    else:
+        bundle = {}
+        exported = read_exported(artifact)
     b, h, w, c = exported.in_avals[0].shape
     if c != 3 or exported.in_avals[0].dtype != np.uint8:
         raise SystemExit(
@@ -70,6 +82,24 @@ def run(artifact: str, images_dir: str, output_dir: str,
             batch_size = -(-batch_size // n) * n
         call = lambda frames: exported.call(jax.device_put(frames, sh))
 
+    def call_for(n_frames):
+        """Best program for a chunk: the main one, or (bundles) the
+        smallest baked batch that fits a ragged tail."""
+        if not bundle or n_frames == batch_size:
+            return batch_size, call
+        fit = min((bb for bb in bundle if bb >= n_frames),
+                  default=batch_size)
+        exp = bundle[fit]
+        if exp.nr_devices > 1:
+            import jax
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+            mesh = Mesh(np.asarray(jax.devices()[:exp.nr_devices]),
+                        ("data",))
+            sh2 = NamedSharding(mesh, PartitionSpec("data"))
+            return fit, lambda fr: exp.call(jax.device_put(fr, sh2))
+        return fit, exp.call
+
     paths = list_images(images_dir)
     if not paths:
         raise SystemExit(f"no images under {images_dir}")
@@ -88,14 +118,16 @@ def run(artifact: str, images_dir: str, output_dir: str,
     def decode_chunk(chunk):
         frames = np.stack([load_image(p, (h, w), faithful_resize)
                            for p in chunk])
-        if len(chunk) < batch_size:
+        target, chunk_call = call_for(len(chunk))
+        if len(chunk) < target:
             # pad EVERY ragged tail (not just static-batch artifacts):
             # a symbolic-batch artifact compiles per concrete batch size,
             # and a fresh full-model compile to serve the tail is minutes
-            # on a remote-compile TPU stack
-            pad = np.zeros((batch_size - len(chunk), h, w, 3), np.uint8)
+            # on a remote-compile TPU stack. With a bundle the pad goes
+            # to the smallest baked batch that fits instead.
+            pad = np.zeros((target - len(chunk), h, w, 3), np.uint8)
             frames = np.concatenate([frames, pad])
-        return frames
+        return frames, chunk_call
 
     def out_name(path, suffix):
         # preserve the subdirectory structure: basename-only stems would
@@ -114,10 +146,10 @@ def run(artifact: str, images_dir: str, output_dir: str,
         # the device runs chunk k (the data Loader's overlap pattern)
         pending = pool.submit(decode_chunk, chunks[0])
         for i, chunk in enumerate(chunks):
-            frames = pending.result()
+            frames, chunk_call = pending.result()
             if i + 1 < len(chunks):
                 pending = pool.submit(decode_chunk, chunks[i + 1])
-            preds = np.asarray(call(frames))[:len(chunk)]
+            preds = np.asarray(chunk_call(frames))[:len(chunk)]
             if i == 0:
                 t_first = time.perf_counter() - t0
             for path, pred in zip(chunk, preds):

@@ -138,6 +138,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "StableHLO serving artifact at this path "
                         "(utils/export.py; symbolic batch dim, "
                         "uint8-in/int32-labels-out, cpu+tpu)")
+    p.add_argument("--export_batches", type=str, default=None,
+                   help="comma-separated batch sizes: write --export_model "
+                        "as a multi-batch BUNDLE (one concrete-batch "
+                        "program per size in one zip; serve.py picks the "
+                        "best fit per chunk) — lifts the fused/pod "
+                        "artifacts' one-concrete-batch pin")
     p.add_argument("--export_devices", type=int, default=1,
                    help="batch-shard the --export_model artifact over the "
                         "first N local devices (pod serving, "

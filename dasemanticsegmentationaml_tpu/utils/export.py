@@ -235,3 +235,68 @@ def load_exported(path: str):
     The serving host needs jax (any backend the artifact was lowered
     for) -- not this package's model code or the checkpoint."""
     return read_exported(path).call
+
+
+def export_inference_bundle(model, variables, height: int, width: int,
+                            batches: Sequence[int], mesh=None,
+                            preprocess: bool = True,
+                            use_fused_kernel: bool = False,
+                            platforms: Optional[Sequence[str]] = None,
+                            path: Optional[str] = None):
+    """Multi-batch-size artifact bundle (one zip, one program per batch).
+
+    The tpu-fused routes compile to a CONCRETE batch (the Pallas custom
+    call's shard_map module cannot be shape-refined symbolically — see
+    export_inference_sharded), which pinned a fused pod artifact to a
+    single serving batch. A bundle bakes SEVERAL concrete batch sizes
+    into one deployable file: serve.py picks the best-fitting program per
+    chunk (e.g. the big batch for the steady state, a small one for the
+    ragged tail), so fused serving no longer dictates the client's batch.
+
+    Layout: a zip with ``b<batch>.shlo`` entries + ``META.json``
+    ({"batches": [...], "nr_devices": N}). Returns {batch: Exported}.
+    """
+    import json as _json
+    import zipfile
+
+    batches = sorted(set(int(b) for b in batches))
+    if not batches:
+        raise ValueError("need at least one batch size")
+    out = {}
+    for b in batches:
+        if mesh is not None and int(mesh.devices.size) > 1:
+            out[b] = export_inference_sharded(
+                model, variables, height, width, mesh, batch=b,
+                preprocess=preprocess, use_fused_kernel=use_fused_kernel,
+                platforms=platforms)
+        else:
+            out[b] = export_inference(
+                model, variables, height, width, batch=b,
+                preprocess=preprocess, use_fused_kernel=use_fused_kernel,
+                platforms=platforms)
+    if path is not None:
+        with zipfile.ZipFile(path, "w") as zf:
+            zf.writestr("META.json", _json.dumps({
+                "batches": batches,
+                "nr_devices": max(e.nr_devices for e in out.values()),
+            }))
+            for b, e in out.items():
+                zf.writestr(f"b{b}.shlo", e.serialize())
+    return out
+
+
+def read_exported_bundle(path: str):
+    """Load an ``export_inference_bundle`` zip -> {batch: Exported}."""
+    import json as _json
+    import zipfile
+
+    with zipfile.ZipFile(path) as zf:
+        meta = _json.loads(zf.read("META.json"))
+        return {int(b): jax_export.deserialize(zf.read(f"b{b}.shlo"))
+                for b in meta["batches"]}
+
+
+def is_bundle(path: str) -> bool:
+    import zipfile
+
+    return zipfile.is_zipfile(path)
