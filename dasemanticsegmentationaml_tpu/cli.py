@@ -80,20 +80,29 @@ def make_checkpoint_fn(args, model_kind_main="bisenet"):
 
     def checkpoint_fn(state, name, dataparallel_prefix=False, model=None,
                       epoch=None):
-        os.makedirs(save_dir, exist_ok=True)
-        variables = {"params": jax.device_get(state.params),
-                     "batch_stats": jax.device_get(state.batch_stats)}
-        torch_state = torch_io.variables_to_torch_state(variables)
-        if dataparallel_prefix:  # reference train.py:282-283 saves module.*
-            torch_state = {f"module.{k}": v for k, v in torch_state.items()}
-        torch_io.write_torch_checkpoint(
-            os.path.join(save_dir, f"{name}.pth"), torch_state)
+        # Multi-process: the plain-file writes (.pth, EPOCH marker) are
+        # process-0-only, but EVERY rank must enter the orbax saves —
+        # orbax synchronizes processes internally (a rank-0-only call
+        # deadlocks/mismatches its sync_global_processes barrier) and
+        # writes replicated arrays from the primary only. save_dir must
+        # therefore be the same (shared) path on every rank.
+        primary = jax.process_index() == 0
+        if primary:
+            os.makedirs(save_dir, exist_ok=True)
+            variables = {"params": jax.device_get(state.params),
+                         "batch_stats": jax.device_get(state.batch_stats)}
+            torch_state = torch_io.variables_to_torch_state(variables)
+            if dataparallel_prefix:  # train.py:282-283 saves module.*
+                torch_state = {f"module.{k}": v
+                               for k, v in torch_state.items()}
+            torch_io.write_torch_checkpoint(
+                os.path.join(save_dir, f"{name}.pth"), torch_state)
         host_state = jax.device_get(state)
         orbax_io.save_train_state(orbax_dir, name, host_state)
         alias = "latest_D1" if model == "discriminator" else "latest"
         if name != alias:
             orbax_io.save_train_state(orbax_dir, alias, host_state)
-        if epoch is not None:
+        if epoch is not None and primary:
             orbax_io.write_epoch_marker(orbax_dir, epoch)
 
     return checkpoint_fn
@@ -132,6 +141,22 @@ def build_mesh(args):
     when --spatial_devices shards image height (XLA SPMD inserts the conv
     halo exchanges — lets a batch smaller than the chip count, or a
     single huge image, scale past one chip; SURVEY.md section 2.3)."""
+    if jax.process_count() > 1:
+        # multi-process: ('dcn','data') with one dcn row per process, so
+        # the gradient all-reduce rides ICI within a host and crosses the
+        # inter-host network once (parallel/mesh.create_mesh_multihost)
+        if args.spatial_devices > 1:
+            raise SystemExit("--spatial_devices is single-process only")
+        if args.num_devices not in (None, len(jax.devices())):
+            raise SystemExit("--num_devices cannot subset a multi-process "
+                             "mesh (every process's devices participate)")
+        if not args.sync_bn:
+            raise SystemExit("--sync_bn False (per-replica BN shard_map) "
+                             "is single-process only; multi-process runs "
+                             "use global-batch sync BN")
+        from .parallel import create_mesh_multihost
+
+        return create_mesh_multihost()
     if args.spatial_devices <= 1:
         return create_mesh(args.num_devices)
     from .parallel import create_mesh_spatial
@@ -165,8 +190,26 @@ def main(argv=None, report_fn=None):
     dtype = _dtype(args)
     n_classes = args.num_classes
 
+    # multi-process wiring must precede any other device use (the
+    # reference's DataParallel, train.py:497, scaled past one host)
+    from .parallel.distributed import initialize as _dist_init
+    from .parallel.distributed import local_batch_size
+
+    _dist_init(args.coordinator_address, args.num_processes,
+               args.process_id)
+    proc_id, proc_n = jax.process_index(), jax.process_count()
+    if proc_n > 1:
+        local_batch_size(args.batch_size)  # divisibility guard
+        print(f"multi-process: rank {proc_id}/{proc_n}, "
+              f"{jax.local_device_count()} local / "
+              f"{jax.device_count()} global devices")
+
     mesh = build_mesh(args)
     n_dev = mesh.devices.size
+    if proc_n > 1 and args.batch_size % n_dev:
+        raise SystemExit(
+            f"multi-process: --batch_size {args.batch_size} (the GLOBAL "
+            f"batch) must be divisible by the {n_dev}-device mesh")
     data_div = mesh.shape.get("data", n_dev)
     batch_sh = batch_sharding(mesh) if n_dev > 1 else None
 
@@ -195,9 +238,14 @@ def main(argv=None, report_fn=None):
         remap_train = remap_val = False
         aug_train = None
 
+    # train loaders are process-sharded (each rank loads its contiguous
+    # slice of the global batch); the val loader is NOT — every process
+    # evaluates the full set redundantly on local devices (identical
+    # result on identical data), so only rank 0's checkpoint write is live
     loader_train = None if train_ds is None else Loader(
         train_ds, args.batch_size, shuffle=True, seed=args.seed,
-        num_workers=args.num_workers)
+        num_workers=args.num_workers, process_id=proc_id,
+        process_count=proc_n)
     loader_val = Loader(val_ds, args.eval_batch_size, shuffle=False,
                         drop_last=False, num_workers=args.num_workers)
 
@@ -211,13 +259,22 @@ def main(argv=None, report_fn=None):
     # ---- prepare fns -------------------------------------------------------
     rng = jax.random.PRNGKey(args.seed)
 
-    def make_prepare(aug_type, remap):
+    def make_prepare(aug_type, remap, sharded=True):
         def prepare(batch, epoch=0, it=0):
             images, labels = batch
+            if sharded and proc_n > 1:
+                # multi-process: each rank holds its local slice; build
+                # the global batch array (no cross-host data movement —
+                # rank r's rows are rank r's shards)
+                from .parallel.distributed import global_batch_arrays
+
+                images, labels = global_batch_arrays(batch_sh, images,
+                                                     labels)
             # shard only batches that divide the mesh's data axis (e.g.
             # the val loader's drop_last=False tail / eval_batch_size=1
             # stay single-device)
-            if batch_sh is not None and images.shape[0] % data_div == 0:
+            elif sharded and batch_sh is not None \
+                    and images.shape[0] % data_div == 0:
                 images, labels = shard_batch((images, labels), mesh)
             key = jax.random.fold_in(jax.random.fold_in(rng, epoch), it) \
                 if aug_type else None
@@ -228,17 +285,32 @@ def main(argv=None, report_fn=None):
         return prepare
 
     prepare_train = make_prepare(aug_train, remap_train)
-    prepare_val = make_prepare(None, remap_val)
+    prepare_val = make_prepare(None, remap_val, sharded=(proc_n == 1))
 
     def evaluate_fn_of(state):
-        return evaluate(
-            model, {"params": state.params,
-                    "batch_stats": state.batch_stats},
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        if proc_n > 1:
+            # eval runs process-LOCALLY (every rank redundantly over the
+            # full val set, identical result): pull the globally
+            # replicated params to host so the eval jit doesn't mix
+            # global-mesh arrays with local batches
+            variables = jax.device_get(variables)
+        result = evaluate(
+            model, variables,
             loader_val, n_classes,
             prepare=lambda b: prepare_val(b),
             use_fused_kernel=(args.use_fused_eval
                               and jax.default_backend() == "tpu"),
             scan_window=args.eval_scan_window)
+        if proc_n > 1:
+            # the best-mIoU checkpoint decision must not diverge: every
+            # rank evaluated the same data with the same replicated
+            # params, so the numbers must agree exactly
+            from .parallel.distributed import assert_same_across_processes
+
+            assert_same_across_processes(result[1], "val mIoU")
+        return result
 
     writer = make_writer(args.tensorboard)
     logger = JsonlLogger(args.jsonl_log)
@@ -363,10 +435,12 @@ def main(argv=None, report_fn=None):
                                args.crop_width,
                                faithful_resize=args.faithful_resize)
         loader_source = Loader(source_ds, args.batch_size, shuffle=True,
-                               seed=args.seed, num_workers=args.num_workers)
+                               seed=args.seed, num_workers=args.num_workers,
+                               process_id=proc_id, process_count=proc_n)
         loader_target = Loader(target_ds, args.batch_size, shuffle=True,
                                seed=args.seed + 1,
-                               num_workers=args.num_workers)
+                               num_workers=args.num_workers,
+                               process_id=proc_id, process_count=proc_n)
 
         d_model = build_discriminator(n_classes, args.depthwise,
                                       args.batch_norm, dtype=dtype)

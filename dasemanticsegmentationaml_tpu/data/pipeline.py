@@ -67,13 +67,29 @@ class Loader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, drop_last: bool = True,
-                 num_workers: int = 4):
+                 num_workers: int = 4, process_id: int = 0,
+                 process_count: int = 1):
+        """batch_size is the GLOBAL batch; with process_count > 1 this
+        loader yields process `process_id`'s contiguous slice
+        (rows [pid*local : (pid+1)*local) of each global batch, local =
+        batch_size // process_count) — the multi-process analogue of
+        torch's DistributedSampler, shaped for
+        parallel.distributed.global_batch_arrays."""
+        if batch_size % max(process_count, 1):
+            raise ValueError(f"batch_size {batch_size} not divisible by "
+                             f"process_count {process_count}")
+        if process_count > 1 and not drop_last:
+            raise ValueError("process-sharded loading requires drop_last "
+                             "(a ragged tail batch cannot be split evenly "
+                             "across processes)")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
         self.num_workers = max(1, num_workers)
+        self.process_id = process_id
+        self.process_count = max(process_count, 1)
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -103,6 +119,10 @@ class Loader:
 
             def submit(batch_idx):
                 idxs = order[batch_idx * bs:(batch_idx + 1) * bs]
+                if self.process_count > 1:
+                    local = bs // self.process_count
+                    lo = self.process_id * local
+                    idxs = idxs[lo:lo + local]
                 pending.append([pool.submit(self.dataset.__getitem__, int(i))
                                 for i in idxs])
 
@@ -131,9 +151,16 @@ def device_prefetch(iterator, depth: int = 2, sharding=None):
     queue = collections.deque()
 
     def put(host_batch):
-        if sharding is not None:
-            return tuple(jax.device_put(x, sharding) for x in host_batch)
-        return tuple(jax.device_put(x) for x in host_batch)
+        def one(x):
+            if sharding is None and isinstance(x, jax.Array):
+                # already on device (the trainers prefetch PREPARED
+                # batches — prepare() dispatched the H2D copy). A bare
+                # device_put would be a no-op single-process but raises
+                # on multi-process global arrays (not fully addressable).
+                return x
+            return jax.device_put(x, sharding)
+
+        return tuple(one(x) for x in host_batch)
 
     it = iter(iterator)
     try:

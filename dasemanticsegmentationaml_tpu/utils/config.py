@@ -151,6 +151,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "serving host must present the same device count)")
     p.add_argument("--resume", type=str, default=None,
                    help="orbax checkpoint dir to resume full train state")
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="multi-process: jax.distributed coordinator "
+                        "host:port (or env JAX_COORDINATOR_ADDRESS); the "
+                        "mesh becomes ('dcn','data') with one dcn row per "
+                        "process (parallel/distributed.py)")
+    p.add_argument("--num_processes", type=int, default=None,
+                   help="multi-process: total process count (or env "
+                        "JAX_NUM_PROCESSES; auto-detected on managed TPU "
+                        "pods)")
+    p.add_argument("--process_id", type=int, default=None,
+                   help="multi-process: this process's rank (or env "
+                        "JAX_PROCESS_ID)")
     p.add_argument("--jsonl_log", type=str, default=None,
                    help="structured JSONL metrics path")
     p.add_argument("--tensorboard", type=str2bool, default=True)
