@@ -239,15 +239,23 @@ def main(argv=None, report_fn=None):
         aug_train = None
 
     # train loaders are process-sharded (each rank loads its contiguous
-    # slice of the global batch); the val loader is NOT — every process
-    # evaluates the full set redundantly on local devices (identical
-    # result on identical data), so only rank 0's checkpoint write is live
+    # slice of the global batch). loader_val stays FULL on every rank
+    # (int8 calibration and export verification must see identical data
+    # everywhere); eval itself uses loader_val_eval — by default a
+    # strided per-rank shard of the val set whose integer confusion
+    # counts are summed across processes (evaluate cross_process_sum:
+    # bit-identical mIoU at 1/process_count the eval wall-clock).
     loader_train = None if train_ds is None else Loader(
         train_ds, args.batch_size, shuffle=True, seed=args.seed,
         num_workers=args.num_workers, process_id=proc_id,
         process_count=proc_n)
     loader_val = Loader(val_ds, args.eval_batch_size, shuffle=False,
                         drop_last=False, num_workers=args.num_workers)
+    eval_sharded = proc_n > 1 and args.eval_process_shard
+    loader_val_eval = Loader(
+        Subset(val_ds, list(range(proc_id, len(val_ds), proc_n))),
+        args.eval_batch_size, shuffle=False, drop_last=False,
+        num_workers=args.num_workers) if eval_sharded else loader_val
 
     # ---- model ------------------------------------------------------------
     model = build_model(args)
@@ -291,22 +299,23 @@ def main(argv=None, report_fn=None):
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
         if proc_n > 1:
-            # eval runs process-LOCALLY (every rank redundantly over the
-            # full val set, identical result): pull the globally
-            # replicated params to host so the eval jit doesn't mix
-            # global-mesh arrays with local batches
+            # eval runs process-LOCALLY (each rank over its val shard, or
+            # the full set redundantly with --eval_process_shard False):
+            # pull the globally replicated params to host so the eval jit
+            # doesn't mix global-mesh arrays with local batches
             variables = jax.device_get(variables)
         result = evaluate(
             model, variables,
-            loader_val, n_classes,
+            loader_val_eval, n_classes,
             prepare=lambda b: prepare_val(b),
             use_fused_kernel=(args.use_fused_eval
                               and jax.default_backend() == "tpu"),
-            scan_window=args.eval_scan_window)
+            scan_window=args.eval_scan_window,
+            cross_process_sum=eval_sharded)
         if proc_n > 1:
-            # the best-mIoU checkpoint decision must not diverge: every
-            # rank evaluated the same data with the same replicated
-            # params, so the numbers must agree exactly
+            # the best-mIoU checkpoint decision must not diverge: sharded
+            # eval sums exact integer counts (identical by construction),
+            # redundant eval sees identical data with identical params
             from .parallel.distributed import assert_same_across_processes
 
             assert_same_across_processes(result[1], "val mIoU")
@@ -410,11 +419,12 @@ def main(argv=None, report_fn=None):
             print(f"exported serving artifact: {args.export_model} "
                   f"({os.path.getsize(args.export_model)} bytes, {kind})")
         precision, miou = evaluate(
-            eval_model, eval_vars, loader_val, n_classes,
+            eval_model, eval_vars, loader_val_eval, n_classes,
             prepare=lambda b: prepare_val(b),
             use_fused_kernel=(args.use_fused_eval
                               and jax.default_backend() == "tpu"),
-            scan_window=args.eval_scan_window)
+            scan_window=args.eval_scan_window,
+            cross_process_sum=eval_sharded)
         return {"precision": precision, "miou": miou}
 
     if args.domain_adaptation:

@@ -99,6 +99,33 @@ def global_batch_arrays(sharding: NamedSharding, *local_arrays):
     return tuple(out)
 
 
+def allreduce_counts(hist: np.ndarray, correct: float, total: float):
+    """Exact cross-process sum of eval count accumulators.
+
+    The counts are integers held in float64; the allgather must not pass
+    through jax's default fp32 (a 1024x512 val set overflows the fp32
+    integer-exact range within ~32 images), so each float64 count is
+    split into two fp32-exact halves (high = value mod 2^24 scaled out,
+    low = remainder), allgathered, and recombined in float64 on the
+    host. Exact for counts < 2^48 pixels (~10^14 -- years of val sets).
+    """
+    from jax.experimental import multihost_utils
+
+    flat = np.concatenate([np.asarray(hist, np.float64).ravel(),
+                           [np.float64(correct), np.float64(total)]])
+    hi, lo = np.divmod(flat, np.float64(1 << 24))
+    parts = np.stack([hi, lo]).astype(np.float32)
+    if np.any(parts[0] >= (1 << 24)):
+        raise OverflowError("eval counts exceed 2^48; shard the val set")
+    gathered = np.asarray(
+        multihost_utils.process_allgather(parts), np.float64)
+    # (nproc, 2, n) -> exact float64 recombine, then integer-exact sum
+    summed = (gathered[:, 0] * float(1 << 24) + gathered[:, 1]).sum(axis=0)
+    n = hist.size
+    return (summed[:n].reshape(hist.shape), float(summed[n]),
+            float(summed[n + 1]))
+
+
 def assert_same_across_processes(value: float, what: str,
                                  tol: float = 0.0) -> None:
     """Debug guard: all processes must agree on `value` (e.g. val mIoU

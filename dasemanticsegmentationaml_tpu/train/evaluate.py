@@ -124,7 +124,8 @@ def evaluate(model, variables, loader, num_classes: int, *, prepare,
              use_fused_kernel: bool = False,
              print_results: bool = True,
              flush_every: int = 32,
-             scan_window: int = 0) -> Tuple[float, float]:
+             scan_window: int = 0,
+             cross_process_sum: bool = False) -> Tuple[float, float]:
     """Full-dataset eval; returns (precision, miou) like reference val().
 
     flush_every is a CAP on the device-accumulation window; the actual
@@ -138,7 +139,15 @@ def evaluate(model, variables, loader, num_classes: int, *, prepare,
     ``lax.scan`` (make_eval_scan_step) -- one tunnel round trip per
     window instead of per batch. Odd-shaped batches (drop_last=False
     tail) and sub-window leftovers take the per-batch step; the metric
-    math is identical either way."""
+    math is identical either way.
+
+    cross_process_sum: multi-process runs pass each rank a LOADER OVER A
+    SHARD of the val set and sum the (hist, correct, total) counts across
+    processes before computing the metrics. The counts are integers held
+    in float64, so the global sums -- and therefore mIoU/precision -- are
+    BIT-IDENTICAL to a single process evaluating the full set (confusion
+    matrices are order-independent integer sums), at 1/process_count the
+    eval wall-clock. No-op with one process."""
     step = make_eval_accum_step(model, num_classes, use_fused_kernel)
     scan_step = (make_eval_scan_step(model, num_classes, use_fused_kernel)
                  if scan_window > 1 else None)
@@ -203,6 +212,10 @@ def evaluate(model, variables, loader, num_classes: int, *, prepare,
         acc, pending = drain(acc, pending, 1)
     if pending:
         flush(acc)
+    if cross_process_sum and jax.process_count() > 1:
+        from ..parallel.distributed import allreduce_counts
+
+        hist, correct, total = allreduce_counts(hist, correct, total)
     precision = correct / max(total, 1.0)
     miou_list = np.asarray(per_class_iou(jnp.asarray(hist)))
     miou = float(np.mean(miou_list))

@@ -163,6 +163,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--process_id", type=int, default=None,
                    help="multi-process: this process's rank (or env "
                         "JAX_PROCESS_ID)")
+    p.add_argument("--eval_process_shard", type=str2bool, default=True,
+                   help="multi-process: shard the val set across processes "
+                        "and sum the confusion counts (bit-identical "
+                        "mIoU/precision to the full redundant eval, "
+                        "1/process_count the wall-clock); False = every "
+                        "rank redundantly evaluates the full set")
     p.add_argument("--jsonl_log", type=str, default=None,
                    help="structured JSONL metrics path")
     p.add_argument("--tensorboard", type=str2bool, default=True)

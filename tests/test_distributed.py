@@ -228,6 +228,87 @@ def test_two_process_cli_supervised_e2e(tmp_path):
     assert mious(logs[0]) and mious(logs[0]) == mious(logs[1])
 
 
+def test_allreduce_counts_exact_single_process():
+    """allreduce_counts must be EXACT for integer counts far beyond the
+    fp32 integer range (the fp32-halves transport is the point: a
+    1024x512 val set overflows 2^24 within ~32 images)."""
+    from dasemanticsegmentationaml_tpu.parallel.distributed import (
+        allreduce_counts)
+
+    rng = np.random.RandomState(0)
+    hist = rng.randint(0, 1 << 47, size=(19, 19)).astype(np.float64)
+    correct, total = float(2**47 + 12345), float(2**47 + 67891)
+    h2, c2, t2 = allreduce_counts(hist, correct, total)
+    np.testing.assert_array_equal(h2, hist)
+    assert c2 == correct and t2 == total
+
+    with pytest.raises(OverflowError):
+        allreduce_counts(np.full((2, 2), 2.0**50), 0.0, 0.0)
+
+
+def test_two_process_sharded_eval_bit_identical(tmp_path):
+    """--eval_process_shard (the default): each rank evaluates a strided
+    shard of the val set and the integer confusion counts are summed
+    across processes — the mIoU/precision must be BIT-identical to a
+    single process evaluating the full set (same seed => same init)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_cli import _mk_cityscapes
+
+    root = str(tmp_path / "cs")
+    _mk_cityscapes(root, "val", n=5)  # odd count: shards of 3 + 2
+    port = _free_port()
+
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("JAX_", "XLA_"))}
+    env["PYTHONPATH"] = REPO_ROOT
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+    code = ("import sys\n"
+            "from dasemanticsegmentationaml_tpu.cli import main\n"
+            "r = main(sys.argv[1:])\n"
+            "print('RESULT', repr(r['miou']), repr(r['precision']))\n")
+    base = ["--domain_shift", "True", "--root", root,
+            "--dataset", "Cityspaces",
+            "--crop_height", "32", "--crop_width", "64",
+            "--eval_batch_size", "1", "--num_workers", "1",
+            "--dtype", "float32", "--faithful_resize", "False",
+            "--tensorboard", "False", "--use_fused_eval", "False",
+            "--save_model_path", str(tmp_path / "ck")]
+
+    def run(extra):
+        pr = subprocess.run([sys.executable, "-c", code, *base, *extra],
+                            env=env, capture_output=True, text=True,
+                            timeout=720)
+        assert pr.returncode == 0, pr.stdout + pr.stderr
+        return [ln for ln in pr.stdout.splitlines()
+                if ln.startswith("RESULT")][0]
+
+    single = run([])
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", code, *base,
+         "--coordinator_address", f"localhost:{port}",
+         "--num_processes", "2", "--process_id", str(i)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for i in range(2)]
+    logs = []
+    for pr in procs:
+        try:
+            out, _ = pr.communicate(timeout=720)
+        except subprocess.TimeoutExpired:
+            pr.kill()
+            out, _ = pr.communicate()
+        logs.append(out)
+    for i, pr in enumerate(procs):
+        assert pr.returncode == 0, f"rank {i} failed:\n{logs[i][-5000:]}"
+    results = [[ln for ln in log.splitlines()
+                if ln.startswith("RESULT")][0] for log in logs]
+    # full-repr float equality: the sharded counts sum to the single-
+    # process confusion matrix exactly
+    assert results[0] == results[1] == single
+
+
 def test_two_process_cli_da_e2e(tmp_path):
     """2-process adversarial-DA CLI: the 4-phase step compiles and runs
     over the ('dcn','data') mesh with process-sharded source AND target
