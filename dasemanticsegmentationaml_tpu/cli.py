@@ -217,9 +217,19 @@ def main(argv=None, report_fn=None):
     # Eval-only mode needs no train split (the reference builds one anyway
     # and so requires images/train to exist even for --domain_shift; we
     # don't inherit that requirement).
+    def maybe_cache(ds):
+        """Wrap a scan dataset in the packed decoded-sample cache
+        (--data_cache; data/cache.py) — decode once, memmap thereafter."""
+        if ds is None or not args.data_cache:
+            return ds
+        from .data.cache import open_or_build
+        return open_or_build(ds, args.data_cache,
+                             num_workers=args.num_workers)
+
     if args.dataset == "GTAV":
-        dataset = GtaV(args.root, args.aug_type, args.crop_height,
-                       args.crop_width, faithful_resize=args.faithful_resize)
+        dataset = maybe_cache(
+            GtaV(args.root, args.aug_type, args.crop_height,
+                 args.crop_width, faithful_resize=args.faithful_resize))
         train_idx, val_idx = train_val_split(len(dataset))
         train_ds = Subset(dataset, train_idx)
         val_ds = Subset(dataset, val_idx)
@@ -229,12 +239,12 @@ def main(argv=None, report_fn=None):
         # neither eval-only mode nor DA (which trains on --root_source/
         # --root_target) uses a train split from --root
         train_ds = None if (args.domain_shift or args.domain_adaptation) \
-            else CityScapes(
-            "train", args.root, args.crop_height, args.crop_width,
-            faithful_resize=args.faithful_resize)
-        val_ds = CityScapes("val", args.root, args.crop_height,
-                            args.crop_width,
-                            faithful_resize=args.faithful_resize)
+            else maybe_cache(CityScapes(
+                "train", args.root, args.crop_height, args.crop_width,
+                faithful_resize=args.faithful_resize))
+        val_ds = maybe_cache(
+            CityScapes("val", args.root, args.crop_height, args.crop_width,
+                       faithful_resize=args.faithful_resize))
         remap_train = remap_val = False
         aug_train = None
 
@@ -438,12 +448,13 @@ def main(argv=None, report_fn=None):
                              "4-phase DA step applies the phase-1 update "
                              "before phase 2, which gradient accumulation "
                              "would defer")
-        source_ds = GtaV(args.root_source, args.aug_type, args.crop_height,
-                         args.crop_width,
-                         faithful_resize=args.faithful_resize)
-        target_ds = CityScapes("train", args.root_target, args.crop_height,
-                               args.crop_width,
-                               faithful_resize=args.faithful_resize)
+        source_ds = maybe_cache(
+            GtaV(args.root_source, args.aug_type, args.crop_height,
+                 args.crop_width, faithful_resize=args.faithful_resize))
+        target_ds = maybe_cache(
+            CityScapes("train", args.root_target, args.crop_height,
+                       args.crop_width,
+                       faithful_resize=args.faithful_resize))
         loader_source = Loader(source_ds, args.batch_size, shuffle=True,
                                seed=args.seed, num_workers=args.num_workers,
                                process_id=proc_id, process_count=proc_n)

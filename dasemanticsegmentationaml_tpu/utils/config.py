@@ -169,6 +169,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "mIoU/precision to the full redundant eval, "
                         "1/process_count the wall-clock); False = every "
                         "rank redundantly evaluates the full set")
+    p.add_argument("--data_cache", type=str, default=None,
+                   help="directory for the packed decoded-sample cache "
+                        "(data/cache.py): every dataset in the run is "
+                        "decoded+resized ONCE into uint8 memmaps keyed by "
+                        "content fingerprint, and later epochs/runs read "
+                        "samples at memory bandwidth instead of re-decoding "
+                        "PNGs (the reference re-decodes every epoch, "
+                        "train.py:465-491). Safe across config changes: a "
+                        "different resize/dataset gets a different cache "
+                        "entry; stale entries are never reused")
     p.add_argument("--jsonl_log", type=str, default=None,
                    help="structured JSONL metrics path")
     p.add_argument("--tensorboard", type=str2bool, default=True)
