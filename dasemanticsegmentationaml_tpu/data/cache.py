@@ -57,12 +57,19 @@ def dataset_fingerprint(dataset) -> str:
     mtime_ns) stats — NOT file bytes, so fingerprinting a 25k-image
     dataset is a metadata walk, not a read.
     """
+    h = hashlib.sha256()
+    # Subset forwards attribute reads to its base dataset (__getattr__),
+    # so a plain .pairs read would silently fingerprint the FULL dataset
+    # for any subset of it; unwrap explicitly, folding the index view
+    # into the hash at each level.
+    while "indices" in vars(dataset) and "dataset" in vars(dataset):
+        h.update(json.dumps({"subset": vars(dataset)["indices"]}).encode())
+        dataset = vars(dataset)["dataset"]
     pairs = getattr(dataset, "pairs", None)
     if pairs is None:
         raise TypeError(
             f"{type(dataset).__name__} has no .pairs — the packed cache "
             "only wraps path-scan datasets (CityScapes/GtaV)")
-    h = hashlib.sha256()
     h.update(json.dumps({
         "version": _VERSION,
         "type": type(dataset).__name__,

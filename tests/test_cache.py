@@ -91,6 +91,21 @@ def test_gtav_cache_carries_remap_aug_and_splits(tmp_path):
     assert sub.needs_remap is True
 
 
+def test_distinct_subsets_get_distinct_caches(tmp_path):
+    """Subset.__getattr__ forwards .pairs to the base dataset; the
+    fingerprint must still distinguish two different subsets (and a
+    subset from its base), or they would share one cache entry."""
+    ds = _cityscapes(tmp_path, n=4)
+    root = str(tmp_path / "cache")
+    a = dcache.open_or_build(Subset(ds, [0, 2]), root)
+    b = dcache.open_or_build(Subset(ds, [1, 3]), root)
+    full = dcache.open_or_build(ds, root)
+    assert len(os.listdir(root)) == 3
+    assert len(a) == len(b) == 2 and len(full) == 4
+    np.testing.assert_array_equal(a[1][0], ds[2][0])
+    np.testing.assert_array_equal(b[0][0], ds[1][0])
+
+
 def test_cache_requires_pair_datasets():
     from dasemanticsegmentationaml_tpu.data.datasets import (
         SyntheticSegDataset,
