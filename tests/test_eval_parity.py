@@ -118,6 +118,62 @@ def test_domain_shift_miou_equals_reference_val(tmp_path):
         f"vs reference {ref_precision!r}")
 
 
+def _mk_gtav_tree(root, n=6):
+    """Flat GTA5 tree with RAW 0..34 ids in palettized labels, sources
+    larger than the crop (exercises remap + the transposed resize)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(11)
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    os.makedirs(os.path.join(root, "labels"), exist_ok=True)
+    for i in range(n):
+        base = rng.integers(0, 255, (12, 24, 3), dtype=np.uint8)
+        img = np.array(Image.fromarray(base).resize((SRC_W, SRC_H),
+                                                    Image.BILINEAR))
+        Image.fromarray(img).save(
+            os.path.join(root, "images", f"{i:05d}.png"))
+        lab = Image.fromarray(
+            rng.integers(0, 35, (SRC_H, SRC_W), dtype=np.uint8), mode="P")
+        lab.putpalette(rng.integers(0, 256, 768, dtype=np.uint8).tolist())
+        lab.save(os.path.join(root, "labels", f"{i:05d}.png"))
+
+
+@requires_reference
+def test_gtav_domain_shift_miou_equals_reference_val(tmp_path):
+    """The OTHER eval pipeline end-to-end: reference --dataset GTAV
+    --domain_shift (75/25 split -> val() over the val quarter with the
+    in-getitem 34->19 remap, GTAV.py:97-100 + train.py:453-476) must
+    equal our CLI's GTAV domain-shift number (device LUT remap,
+    bit-identical sklearn-free split)."""
+    from reference_eval import run_reference_val_gtav
+
+    root = str(tmp_path / "gta")
+    _mk_gtav_tree(root)
+    ckpt = str(tmp_path / "export.pth")
+    _export_checkpoint(ckpt, seed=3)
+
+    ref_precision, ref_miou = run_reference_val_gtav(
+        root, ckpt, CROP_H, CROP_W, num_classes=19)
+
+    result = cli.main([
+        "--root", root, "--dataset", "GTAV",
+        "--domain_shift", "True", "--pretrain_path", ckpt,
+        "--crop_height", str(CROP_H), "--crop_width", str(CROP_W),
+        "--dtype", "float32", "--use_fused_eval", "False",
+        "--faithful_resize", "True", "--tensorboard", "False",
+        "--num_workers", "1", "--num_devices", "1",
+        "--eval_batch_size", "1",
+        "--save_model_path", str(tmp_path / "ck"),
+    ])
+
+    assert ref_miou > 0.0
+    assert abs(result["miou"] - ref_miou) <= 1e-6, (
+        f"mIoU mismatch: ours {result['miou']!r} vs reference {ref_miou!r}")
+    assert abs(result["precision"] - ref_precision) <= 1e-6, (
+        f"precision mismatch: ours {result['precision']!r} "
+        f"vs reference {ref_precision!r}")
+
+
 @requires_reference
 def test_reference_val_harness_is_deterministic(tmp_path):
     """The oracle itself must be stable run-to-run (same tree, same ckpt)."""

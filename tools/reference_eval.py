@@ -89,10 +89,18 @@ def _install_torchvision_stub():
             return t.permute(2, 0, 1).contiguous()
 
     class _Unavailable:
+        """Constructible, raises on USE: GtaV builds every aug transform
+        unconditionally at __init__ (reference GTAV.py:33-46) even when
+        ``aug_type=None`` leaves them out of the pipeline, so the stub
+        must allow construction and only refuse application."""
+
         def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, *a, **k):
             raise NotImplementedError(
                 "torchvision stub: augmentation transforms are not "
-                "implemented (eval never constructs them)")
+                "implemented (eval never applies them)")
 
     for name, cls in [("Compose", Compose), ("ToTensor", ToTensor),
                       ("Normalize", Normalize),
@@ -142,6 +150,62 @@ def run_reference_val(root: str, pretrain_path: str, crop_height: int,
     return float(precision), float(miou)
 
 
+def run_reference_val_gtav(root: str, pretrain_path: str, crop_height: int,
+                           crop_width: int, num_classes: int = 19,
+                           use_conv_last: bool = False):
+    """Execute reference val() over the GTA5 25% validation split — the
+    reference's `--dataset GTAV --domain_shift` pipeline (train.py:
+    453-476 split + :519 val): flat dir scan -> sorted pairing ->
+    (transposed) PIL resize -> ToTensor+normalize -> 34->19 in-place
+    label remap (GTAV.py:97-100) -> forward -> metrics. Returns
+    (precision, miou)."""
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    _install_torchvision_stub()
+    _patch_cuda_noop()
+
+    from torch.utils.data import DataLoader, Subset
+
+    import train as ref_train  # /root/reference/train.py
+    from model.model_stages import BiSeNet as RefBiSeNet
+
+    root = os.path.abspath(root)
+    # GtaV reads './dataset/gta5_info.json' relative to CWD (GTAV.py:26)
+    cwd = os.getcwd()
+    os.chdir(REFERENCE_ROOT)
+    try:
+        from dataset.GTAV import GtaV as RefGtaV
+
+        dataset = RefGtaV(root, None, crop_height, crop_width)
+    finally:
+        os.chdir(cwd)
+
+    # the reference's sklearn split (train.py:458); our pinned
+    # reproduction is bit-identical (tests/test_data.py) when sklearn
+    # is absent from the environment
+    try:
+        from sklearn.model_selection import train_test_split
+
+        _train_idx, val_idx = train_test_split(
+            range(0, len(dataset)), train_size=0.75, random_state=42,
+            shuffle=True)
+    except ImportError:
+        from dasemanticsegmentationaml_tpu.data.datasets import (
+            train_val_split,
+        )
+
+        _train_idx, val_idx = train_val_split(len(dataset))
+
+    loader = DataLoader(Subset(dataset, val_idx), batch_size=1,
+                        shuffle=False, num_workers=0, drop_last=True)
+    model = RefBiSeNet(backbone="STDCNet813", n_classes=num_classes,
+                       pretrain_model=pretrain_path,
+                       use_conv_last=use_conv_last)
+    args = argparse.Namespace(num_classes=num_classes)
+    precision, miou = ref_train.val(args, model, loader)
+    return float(precision), float(miou)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--root", required=True)
@@ -150,8 +214,13 @@ def main(argv=None):
     p.add_argument("--crop_width", type=int, default=1024)
     p.add_argument("--num_classes", type=int, default=19)
     p.add_argument("--use_conv_last", action="store_true")
+    p.add_argument("--dataset", default="Cityscapes",
+                   choices=["Cityscapes", "GTAV"],
+                   help="GTAV = reference --dataset GTAV --domain_shift "
+                        "(val() over the 75/25 split's val quarter)")
     a = p.parse_args(argv)
-    precision, miou = run_reference_val(
+    fn = run_reference_val_gtav if a.dataset == "GTAV" else run_reference_val
+    precision, miou = fn(
         a.root, a.pretrain_path, a.crop_height, a.crop_width,
         a.num_classes, a.use_conv_last)
     print(json.dumps({"precision": precision, "miou": miou}))
