@@ -175,6 +175,97 @@ def test_gtav_domain_shift_miou_equals_reference_val(tmp_path):
 
 
 @requires_reference
+def test_supervised_train_losses_match_reference_train(tmp_path, capsys):
+    """The TRAINING analogue of the eval oracle: the reference's ACTUAL
+    train() (train.py:63-120 — autocast/GradScaler wrapping, per-epoch
+    poly LR, 3-head CE sum, SGD(momentum=0.9, wd=1e-4) as main() builds
+    it) runs over a synthetic tree from a shared init checkpoint, and our
+    CLI's per-epoch mean train-loss sequence must track it.
+
+    batch_size == len(train set): one step per epoch, so torch's shuffle
+    order is irrelevant (batch means and BN stats are permutation-
+    invariant) and the trajectories are directly comparable. Tolerances
+    are update-relative-noise-calibrated (test_train_equivalence.py:
+    cross-framework fp32 conv algorithms differ at ~1e-4 of activation
+    scale and compound per step): epoch 1 is pre-divergence, later epochs
+    include one update's worth of drift each.
+    """
+    from reference_eval import run_reference_train_supervised
+
+    root = str(tmp_path / "cs")
+    _mk_val_tree(root)                      # val tree (n=3)
+    # train tree: 4 images so batch_size=4 is one step per epoch
+    from PIL import Image
+
+    rng = np.random.default_rng(23)
+    os.makedirs(os.path.join(root, "images", "train", "city"),
+                exist_ok=True)
+    os.makedirs(os.path.join(root, "gtFine", "train", "city"),
+                exist_ok=True)
+    for i in range(4):
+        base = rng.integers(0, 255, (12, 24, 3), dtype=np.uint8)
+        img = np.array(Image.fromarray(base).resize((SRC_W, SRC_H),
+                                                    Image.BILINEAR))
+        Image.fromarray(img).save(
+            os.path.join(root, "images", "train", "city",
+                         f"t_{i:03d}.png"))
+        lab = rng.integers(0, 19, (SRC_H, SRC_W), dtype=np.uint8)
+        lab[rng.random((SRC_H, SRC_W)) < 0.1] = 255
+        Image.fromarray(lab, mode="L").save(
+            os.path.join(root, "gtFine", "train", "city",
+                         f"t_{i:03d}_labelTrainIds.png"))
+
+    ckpt = str(tmp_path / "export.pth")
+    _export_checkpoint(ckpt, logit_scale=1.0, seed=5)
+    epochs = 3
+
+    # lr well above the reference default so the trajectory MOVES (random
+    # labels barely descend at 0.01); the tracking asserts then have
+    # power: a semantics bug (LR schedule, zero_grad, head weighting, BN
+    # update) shifts epoch 2-3 far beyond the fp noise envelope
+    lr = 0.1
+    ref_losses, ref_precision, ref_miou = run_reference_train_supervised(
+        root, ckpt, CROP_H, CROP_W, num_epochs=epochs, batch_size=4,
+        learning_rate=lr, workdir=str(tmp_path))
+
+    result = cli.main([
+        "--root", root, "--dataset", "Cityspaces",
+        "--pretrain_path", ckpt,
+        "--crop_height", str(CROP_H), "--crop_width", str(CROP_W),
+        "--batch_size", "4", "--num_epochs", str(epochs),
+        "--learning_rate", str(lr), "--optimizer", "sgd",
+        "--checkpoint_step", "1", "--validation_step", "1",
+        "--dtype", "float32", "--use_fused_eval", "False",
+        "--faithful_resize", "True", "--tensorboard", "False",
+        "--num_workers", "1", "--num_devices", "1",
+        "--eval_batch_size", "1",
+        "--save_model_path", str(tmp_path / "ck"),
+    ])
+    out = capsys.readouterr().out
+    import re
+
+    our_losses = [float(m) for m in
+                  re.findall(r"loss for train : ([0-9.eE+-]+)", out)]
+    assert len(our_losses) == epochs
+
+    # epoch 1: identical inputs, zero accumulated drift — conv-algorithm
+    # noise only; later epochs compound one update of divergence each
+    np.testing.assert_allclose(our_losses[0], ref_losses[0], rtol=1e-4)
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=2e-2)
+    # per-epoch loss DELTAS are the sensitive signal (a schedule /
+    # zero_grad / BN-update bug changes the descent direction, not the
+    # 9.x CE offset): each epoch's movement must track within 25%
+    np.testing.assert_allclose(np.diff(our_losses), np.diff(ref_losses),
+                               rtol=0.25)
+    # and that movement dwarfs the epoch-1 cross-framework noise floor
+    spread = max(ref_losses) - min(ref_losses)
+    assert spread > 50 * 1e-4 * ref_losses[0], (ref_losses, spread)
+    # end-state val numbers from each framework's own full eval pipeline
+    assert abs(result["precision"] - ref_precision) <= 2e-2
+    assert abs(result["miou"] - ref_miou) <= 2e-2
+
+
+@requires_reference
 def test_reference_val_harness_is_deterministic(tmp_path):
     """The oracle itself must be stable run-to-run (same tree, same ckpt)."""
     from reference_eval import run_reference_val

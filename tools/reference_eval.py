@@ -206,6 +206,79 @@ def run_reference_val_gtav(root: str, pretrain_path: str, crop_height: int,
     return float(precision), float(miou)
 
 
+def run_reference_train_supervised(root: str, pretrain_path: str,
+                                   crop_height: int, crop_width: int,
+                                   num_epochs: int, batch_size: int,
+                                   learning_rate: float, workdir: str,
+                                   num_classes: int = 19):
+    """Execute the reference's ACTUAL supervised trainer (train.py:63-120
+    `train()`, wrapped exactly as main() wraps it: DataParallel model,
+    SGD(momentum=0.9, weight_decay=1e-4) per train.py:497,504) over a
+    Cityscapes tree on CPU torch, then its final val() (train.py:519).
+
+    Returns (per_epoch_mean_losses, final_precision, final_miou).
+    Per-epoch losses are parsed from train()'s own
+    'loss for train : %f' prints (train.py:103) — the loop exposes them
+    no other way. Runs chdir'd into `workdir` because train() writes
+    tensorboardX events under ./runs (train.py:64).
+
+    NOTE for callers comparing against our CLI: set batch_size =
+    len(train set) (one step per epoch) so torch's shuffled sample ORDER
+    is irrelevant — batch-mean losses/gradients and BN batch stats are
+    permutation-invariant, so the whole trajectory is comparable without
+    sharing an RNG across frameworks.
+    """
+    import contextlib
+    import io
+    import re
+
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    _install_torchvision_stub()
+    _patch_cuda_noop()
+
+    import torch
+    from torch.utils.data import DataLoader
+
+    import train as ref_train  # /root/reference/train.py
+    from dataset.cityscapes import CityScapes as RefCityScapes
+    from model.model_stages import BiSeNet as RefBiSeNet
+
+    root = os.path.abspath(root)
+    train_ds = RefCityScapes("train", root, crop_height, crop_width)
+    val_ds = RefCityScapes("val", root, crop_height, crop_width)
+    dl_train = DataLoader(train_ds, batch_size=batch_size, shuffle=True,
+                          num_workers=0, drop_last=True)
+    dl_val = DataLoader(val_ds, batch_size=1, shuffle=False, num_workers=0)
+    # DataParallel exactly as main() (train.py:496-497); with no CUDA
+    # devices it forwards straight to the module, and train() saves
+    # model.module.state_dict() through it (train.py:110,118)
+    model = torch.nn.DataParallel(RefBiSeNet(
+        backbone="STDCNet813", n_classes=num_classes,
+        pretrain_model=pretrain_path, use_conv_last=False))
+    optimizer = torch.optim.SGD(model.parameters(), learning_rate,
+                                momentum=0.9, weight_decay=1e-4)
+    args = argparse.Namespace(
+        num_epochs=num_epochs, learning_rate=learning_rate,
+        batch_size=batch_size, optimizer="sgd", num_classes=num_classes,
+        checkpoint_step=1, validation_step=1,
+        save_model_path=os.path.join(workdir, "ref_ckpt"))
+
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    buf = io.StringIO()
+    try:
+        with contextlib.redirect_stdout(buf):
+            ref_train.train(args, model, optimizer, dl_train, dl_val)
+            precision, miou = ref_train.val(args, model, dl_val)
+    finally:
+        os.chdir(cwd)
+    losses = [float(m) for m in
+              re.findall(r"loss for train : ([0-9.eE+-]+)", buf.getvalue())]
+    assert len(losses) == num_epochs, buf.getvalue()[-2000:]
+    return losses, float(precision), float(miou)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--root", required=True)
