@@ -473,6 +473,17 @@ def main(argv=None, report_fn=None):
         d_vars = d_model.init(
             jax.random.PRNGKey(args.seed + 2),
             jnp.zeros((1, h_act, w_act, n_classes)))
+        if args.d_pretrain_path:
+            from .utils.torch_io import (load_into_variables,
+                                         read_torch_checkpoint)
+            d_vars, d_report = load_into_variables(
+                d_vars, read_torch_checkpoint(args.d_pretrain_path))
+            if d_report["not_in_model"] or d_report["shape_mismatch"]:
+                raise SystemExit(
+                    f"--d_pretrain_path {args.d_pretrain_path}: keys not "
+                    f"in this discriminator {d_report['not_in_model']} / "
+                    f"shape mismatches {d_report['shape_mismatch']} — "
+                    "check --depthwise/--batch_norm match the checkpoint")
 
         g_opt = make_optimizer("sgd", args.learning_rate,
                                momentum=args.momentum,

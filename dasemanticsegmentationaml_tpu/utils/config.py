@@ -100,6 +100,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "(('data','spatial') mesh, XLA SPMD conv halo "
                         "exchange -- the CNN sequence-parallel analogue); "
                         "num_devices/spatial_devices stay data-parallel")
+    p.add_argument("--d_pretrain_path", type=str, default="",
+                   help="DA mode: warm-start the discriminator from a "
+                        ".pth state dict (e.g. the reference's shipped "
+                        "GTA5_model/GTA5_10_D1.pth, module.-prefixed or "
+                        "not) instead of random init. The reference has "
+                        "no such flag — its D always starts random "
+                        "(train.py:144-152) — but it SHIPS a trained D "
+                        "checkpoint, which is only usable with this")
     p.add_argument("--d_head", type=int, default=0, choices=[0, 2],
                    help="discriminator input head: 0=main (train.py:230), "
                         "2=out32 (train_nni.py:135)")

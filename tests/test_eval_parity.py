@@ -266,6 +266,95 @@ def test_supervised_train_losses_match_reference_train(tmp_path, capsys):
 
 
 @requires_reference
+def test_da_train_losses_match_reference_train_da(tmp_path, capsys):
+    """The DA analogue: the reference's ACTUAL train_DA (train.py:134-299
+    — internal D construction, internal GtaV/CityScapes loaders, SGD-G +
+    Adam-D, 4-phase step with λ_adv, compounding per-epoch poly LR) runs
+    from a shared G checkpoint and a captured random D init, and our
+    CLI's per-epoch (loss_seg, loss_D1) sequences must track it.
+
+    D init is shared through the new --d_pretrain_path flag (the
+    reference's D is born inside train_DA; the harness captures the same
+    torch-seeded init). batch_size == len(source) == len(target): one
+    zip'd step per epoch, shuffle-order invariant.
+    """
+    import re
+
+    from reference_eval import run_reference_train_da
+
+    src = str(tmp_path / "gta")
+    _mk_gtav_tree(src, n=4)
+    tgt = str(tmp_path / "cs")
+    _mk_val_tree(tgt)                       # val tree under the same root
+    from PIL import Image
+
+    rng = np.random.default_rng(31)
+    os.makedirs(os.path.join(tgt, "images", "train", "city"), exist_ok=True)
+    os.makedirs(os.path.join(tgt, "gtFine", "train", "city"), exist_ok=True)
+    for i in range(4):
+        base = rng.integers(0, 255, (12, 24, 3), dtype=np.uint8)
+        img = np.array(Image.fromarray(base).resize((SRC_W, SRC_H),
+                                                    Image.BILINEAR))
+        Image.fromarray(img).save(
+            os.path.join(tgt, "images", "train", "city", f"t_{i:03d}.png"))
+        lab = rng.integers(0, 19, (SRC_H, SRC_W), dtype=np.uint8)
+        Image.fromarray(lab, mode="L").save(
+            os.path.join(tgt, "gtFine", "train", "city",
+                         f"t_{i:03d}_labelTrainIds.png"))
+
+    ckpt = str(tmp_path / "export.pth")
+    _export_checkpoint(ckpt, logit_scale=1.0, seed=9)
+    epochs = 3
+
+    d_init, ref_losses, ref_precision, ref_miou, ref_d_params = \
+        run_reference_train_da(
+            src, tgt, tgt, ckpt, CROP_H, CROP_W, num_epochs=epochs,
+            batch_size=4, workdir=str(tmp_path), depthwise=True,
+            batch_norm=True, d_seed=3)
+
+    d_ckpt = str(tmp_path / "d_init.pth")
+    from dasemanticsegmentationaml_tpu.utils.torch_io import (
+        write_torch_checkpoint,
+    )
+
+    write_torch_checkpoint(d_ckpt,
+                           {k: np.asarray(v) for k, v in d_init.items()})
+
+    result = cli.main([
+        "--root", tgt, "--root_source", src, "--root_target", tgt,
+        "--dataset", "Cityspaces", "--domain_adaptation", "True",
+        "--depthwise", "True", "--batch_norm", "True",
+        "--pretrain_path", ckpt, "--d_pretrain_path", d_ckpt,
+        "--crop_height", str(CROP_H), "--crop_width", str(CROP_W),
+        "--batch_size", "4", "--num_epochs", str(epochs),
+        "--checkpoint_step", "1", "--validation_step", "1",
+        "--dtype", "float32", "--use_fused_eval", "False",
+        "--faithful_resize", "True", "--tensorboard", "False",
+        "--num_workers", "1", "--num_devices", "1",
+        "--eval_batch_size", "1",
+        "--save_model_path", str(tmp_path / "ck"),
+    ])
+    out = capsys.readouterr().out
+    our_losses = [(float(a), float(b)) for a, b in re.findall(
+        r"loss_seg = ([0-9.eE+-]+) loss_D1 = ([0-9.eE+-]+)", out)]
+    assert len(our_losses) == epochs
+    (our_d_params,) = re.findall(r"The discriminator has:\s+(\d+)", out)
+    assert int(our_d_params) == ref_d_params == 193194
+
+    ours = np.array(our_losses)
+    refs = np.array(ref_losses)
+    # epoch 1 from identical states: fp envelope + the 3-decimal print
+    # rounding (5e-4 each side)
+    np.testing.assert_allclose(ours[0], refs[0], rtol=1e-3, atol=1.5e-3)
+    # full trajectories (seg ~9.x, adv ~1.4) within the compounding
+    # cross-framework conv-noise envelope
+    np.testing.assert_allclose(ours, refs, rtol=2e-2, atol=2e-3)
+    # end-state val from each framework's own full pipeline
+    assert abs(result["precision"] - ref_precision) <= 2e-2
+    assert abs(result["miou"] - ref_miou) <= 2e-2
+
+
+@requires_reference
 def test_reference_val_harness_is_deterministic(tmp_path):
     """The oracle itself must be stable run-to-run (same tree, same ckpt)."""
     from reference_eval import run_reference_val

@@ -279,6 +279,126 @@ def run_reference_train_supervised(root: str, pretrain_path: str,
     return losses, float(precision), float(miou)
 
 
+def run_reference_train_da(root_source: str, root_target: str,
+                           root_val: str, g_pretrain_path: str,
+                           crop_height: int, crop_width: int,
+                           num_epochs: int, batch_size: int, workdir: str,
+                           learning_rate: float = 0.01,
+                           learning_rate_d: float = 1e-3,
+                           lambda_adv: float = 1e-3,
+                           depthwise: bool = True, batch_norm: bool = True,
+                           d_seed: int = 0, num_classes: int = 19):
+    """Execute the reference's ACTUAL adversarial-DA trainer
+    (train.py:134-299 train_DA: internal D construction, internal
+    GtaV/CityScapes loaders, SGD-G + Adam-D, the 4-phase step) on CPU
+    torch, then val() over root_val.
+
+    Returns (d_init_state, per_epoch [(loss_seg, loss_D1)] parsed from
+    train_DA's own epoch prints (train.py:278), final_precision,
+    final_miou, d_param_count).
+
+    D init sharing: train_DA constructs its discriminator internally
+    (train.py:144-152) — the FIRST torch-RNG consumer in the call — so
+    seeding torch.manual_seed(d_seed) immediately before both a
+    stand-alone construction (to capture the init) and the train_DA call
+    reproduces the identical random D. The caller loads `d_init_state`
+    into the other framework (our CLI: --d_pretrain_path).
+
+    Comparability: pass batch_size == len(source) == len(target) so each
+    epoch is ONE zip'd step and torch's shuffle order is irrelevant.
+    """
+    import contextlib
+    import io
+    import re
+
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    _install_torchvision_stub()
+    _patch_cuda_noop()
+
+    import torch
+    from torch.utils.data import DataLoader
+
+    import train as ref_train  # /root/reference/train.py
+    from dataset.cityscapes import CityScapes as RefCityScapes
+    from model.model_stages import BiSeNet as RefBiSeNet
+
+    root_source = os.path.abspath(root_source)
+    root_target = os.path.abspath(root_target)
+    root_val = os.path.abspath(root_val)
+
+    # GtaV reads './dataset/gta5_info.json' (GTAV.py:26) and train_DA
+    # constructs it internally (train.py:154) — wrap construction in a
+    # chdir to the (read-only) reference so nothing else runs there
+    orig_gtav = ref_train.GtaV
+
+    def _gtav_in_refdir(root, aug_type, height, width):
+        cwd = os.getcwd()
+        os.chdir(REFERENCE_ROOT)
+        try:
+            return orig_gtav(root, aug_type, height, width)
+        finally:
+            os.chdir(cwd)
+
+    # capture the exact D init train_DA will draw (same seed, same class,
+    # same construction order)
+    if not depthwise:
+        d_cls = ref_train.FCDiscriminator
+    elif batch_norm:
+        d_cls = ref_train.DepthWiseSepBNFCDiscriminator
+    else:
+        d_cls = ref_train.DepthWiseSepFCDiscriminator
+    torch.manual_seed(d_seed)
+    d_init = {k: v.detach().cpu().numpy().copy()
+              for k, v in d_cls(num_classes=num_classes)
+              .state_dict().items()}
+
+    val_ds = RefCityScapes("val", root_val, crop_height, crop_width)
+    dl_val = DataLoader(val_ds, batch_size=1, shuffle=False, num_workers=0)
+    model = torch.nn.DataParallel(RefBiSeNet(
+        backbone="STDCNet813", n_classes=num_classes,
+        pretrain_model=g_pretrain_path, use_conv_last=False))
+    args = argparse.Namespace(
+        num_epochs=num_epochs, learning_rate=learning_rate,
+        learning_rate_D=learning_rate_d, batch_size=batch_size,
+        num_workers=0, num_classes=num_classes, optimizer="sgd",
+        crop_height=crop_height, crop_width=crop_width,
+        momentum=0.9, weight_decay=5e-4,  # reference flag defaults
+        lambda_adv_target1=lambda_adv, aug_type=None,
+        depthwise=depthwise, batch_norm=batch_norm,
+        root_source=root_source, root_target=root_target,
+        # checkpoint_step must NOT divide any epoch: train_DA's epoch-
+        # checkpoint branch is dead-on-arrival in the reference — 'os'
+        # is imported INSIDE the function at train.py:289 (best.pth
+        # branch), which makes it function-local, so the earlier
+        # os.path.join at :282 raises UnboundLocalError the first time
+        # epoch % checkpoint_step == 0 (same bug family as
+        # train_nni.py:182, SURVEY.md section 4 item 2). The shipped
+        # GTA5_10[_D1].pth cannot have been written by this code as-is.
+        checkpoint_step=num_epochs + 99, validation_step=1,
+        save_model_path=os.path.join(workdir, "ref_da_ckpt"))
+    os.makedirs(args.save_model_path, exist_ok=True)
+
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    buf = io.StringIO()
+    ref_train.GtaV = _gtav_in_refdir
+    try:
+        torch.manual_seed(d_seed)  # replay the captured D init
+        with contextlib.redirect_stdout(buf):
+            ref_train.train_DA(args, model, dl_val)
+            precision, miou = ref_train.val(args, model, dl_val)
+    finally:
+        ref_train.GtaV = orig_gtav
+        os.chdir(cwd)
+    text = buf.getvalue()
+    losses = [(float(a), float(b)) for a, b in re.findall(
+        r"loss_seg = ([0-9.eE+-]+) loss_D1 = ([0-9.eE+-]+)", text)]
+    assert len(losses) == num_epochs, text[-2000:]
+    (d_params,) = re.findall(r"The discriminator has:\s+(\d+)", text)
+    return d_init, losses, float(precision), float(miou), int(d_params)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--root", required=True)
