@@ -395,8 +395,10 @@ def main(argv=None, report_fn=None):
                     path=args.export_model)
                 exported = progs[max(progs)]
             elif args.export_devices > 1:
-                # pod-serving artifact: batch sharded over the first N
-                # local devices (the serving host must match the count)
+                # pod-serving artifact over the first N local devices
+                # (the serving host must match the count): batch-sharded
+                # throughput artifact, or with --export_spatial the
+                # height-sharded LATENCY artifact (any batch, incl. 1)
                 import numpy as np
 
                 from jax.sharding import Mesh
@@ -405,16 +407,26 @@ def main(argv=None, report_fn=None):
                     raise SystemExit(
                         f"--export_devices {args.export_devices} but only "
                         f"{len(devs)} devices visible")
-                mesh = Mesh(
-                    np.asarray(devs[:args.export_devices]), ("data",))
-                exported = export_inference_sharded(
-                    eval_model, eval_vars, h_act, w_act, mesh,
-                    use_fused_kernel=fused,
-                    # the shard_map (fused) route needs a concrete batch
-                    batch=(args.eval_batch_size * args.export_devices
-                           if fused else None),
-                    platforms=None if fused else ("cpu", "tpu"),
-                    path=args.export_model)
+                if args.export_spatial:
+                    from .utils.export import export_inference_spatial
+                    mesh = Mesh(np.asarray(devs[:args.export_devices]),
+                                ("spatial",))
+                    exported = export_inference_spatial(
+                        eval_model, eval_vars, h_act, w_act, mesh,
+                        platforms=("cpu", "tpu"),
+                        path=args.export_model)
+                else:
+                    mesh = Mesh(
+                        np.asarray(devs[:args.export_devices]), ("data",))
+                    exported = export_inference_sharded(
+                        eval_model, eval_vars, h_act, w_act, mesh,
+                        use_fused_kernel=fused,
+                        # the shard_map (fused) route needs a concrete
+                        # batch
+                        batch=(args.eval_batch_size * args.export_devices
+                               if fused else None),
+                        platforms=None if fused else ("cpu", "tpu"),
+                        path=args.export_model)
             else:
                 exported = export_inference(
                     eval_model, eval_vars,

@@ -63,11 +63,15 @@ def run(artifact: str, images_dir: str, output_dir: str,
 
     call = exported.call
     if exported.nr_devices > 1:
-        # pod artifact (utils/export.py::export_inference_sharded): the
-        # batch is sharded on dim 0 over a 1-axis mesh of the same size;
-        # rebuild it from the local devices and feed sharded arrays
+        # pod artifact: batch-sharded on dim 0
+        # (utils/export.py::export_inference_sharded) or height-sharded
+        # on dim 1 (::export_inference_spatial, the latency variant);
+        # rebuild a 1-axis mesh of the recorded size and feed arrays
+        # sharded on the recorded dim
         import jax
         from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        from .utils.export import artifact_shard_dim
 
         devs = jax.devices()
         if len(devs) < exported.nr_devices:
@@ -75,9 +79,12 @@ def run(artifact: str, images_dir: str, output_dir: str,
                 f"pod artifact needs {exported.nr_devices} devices, this "
                 f"host presents {len(devs)}")
         mesh = Mesh(np.asarray(devs[:exported.nr_devices]), ("data",))
-        sh = NamedSharding(mesh, PartitionSpec("data"))
-        if not isinstance(b, int):
+        dim = artifact_shard_dim(exported)
+        spec = PartitionSpec(*([None] * dim + ["data"]))
+        sh = NamedSharding(mesh, spec)
+        if dim == 0 and not isinstance(b, int):
             # symbolic N*b batch: concrete batches must divide evenly
+            # (height-sharded artifacts take ANY batch, incl. 1)
             n = exported.nr_devices
             batch_size = -(-batch_size // n) * n
         call = lambda frames: exported.call(jax.device_put(frames, sh))

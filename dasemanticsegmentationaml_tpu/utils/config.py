@@ -152,6 +152,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "program per size in one zip; serve.py picks the "
                         "best fit per chunk) — lifts the fused/pod "
                         "artifacts' one-concrete-batch pin")
+    p.add_argument("--export_spatial", type=str2bool, default=False,
+                   help="with --export_devices N: shard the image HEIGHT "
+                        "over the N devices instead of the batch — the "
+                        "latency-oriented pod artifact (serves ANY batch "
+                        "size incl. 1; GSPMD conv halo exchange; pure-XLA "
+                        "eval path; height must keep every stride-32 "
+                        "stage divisible by N)")
     p.add_argument("--export_devices", type=int, default=1,
                    help="batch-shard the --export_model artifact over the "
                         "first N local devices (pod serving, "

@@ -222,6 +222,71 @@ def export_inference_sharded(model, variables, height: int, width: int,
     return exported
 
 
+def export_inference_spatial(model, variables, height: int, width: int,
+                             mesh, preprocess: bool = True,
+                             platforms: Optional[Sequence[str]] = None,
+                             path: Optional[str] = None
+                             ) -> jax_export.Exported:
+    """LATENCY-oriented pod artifact: the eval forward with the image
+    HEIGHT sharded over ``mesh`` (GSPMD inserts the conv halo exchanges),
+    batch left symbolic — including batch 1, which batch sharding
+    (``export_inference_sharded``) cannot accelerate at all. The CNN
+    analogue of sequence-parallel serving (SURVEY.md section 2.3).
+
+    GSPMD route only: the Pallas upsample+argmax kernel is opaque to the
+    partitioner, and a height-sharded shard_map would need hand-built
+    halos for every conv — so this lowers the pure-XLA eval path (the
+    same trade as training's ``--spatial_devices``, parallel/mesh.py).
+    Heights must keep every downsampled stage on whole rows per shard
+    (check_spatial_height; stride-32 divisibility), which also keeps the
+    forward fp-exact vs single-device — asserted in test_export.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from ..parallel.mesh import check_spatial_height
+
+    axis = mesh.axis_names[0]
+    n = int(mesh.devices.size)
+    check_spatial_height(height, n)
+    serve = make_serving_fn(model, variables, preprocess=preprocess,
+                            use_fused_kernel=False)
+    sh = NamedSharding(mesh, PartitionSpec(None, axis))
+    jf = jax.jit(serve, in_shardings=(sh,), out_shardings=sh)
+    (b,) = jax_export.symbolic_shape("b")
+    in_dtype = jnp.uint8 if preprocess else model.dtype
+    spec = jax.ShapeDtypeStruct((b, height, width, 3), in_dtype,
+                                sharding=sh)
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    exported = jax_export.export(jf, **kwargs)(spec)
+    if path is not None:
+        with open(path, "wb") as f:
+            f.write(exported.serialize())
+    return exported
+
+
+def artifact_shard_dim(exported: jax_export.Exported) -> int:
+    """Which input dim a multi-device artifact shards: 0 for the batch-
+    sharded pod artifacts, 1 for the height-sharded (spatial) ones.
+    Parsed from the recorded HLO sharding's tile assignment (e.g.
+    ``{devices=[1,8,1,1]<=[8]}`` -> dim 1)."""
+    import re
+
+    if exported.nr_devices <= 1:
+        return 0
+    hs = str(exported.in_shardings_hlo[0])
+    m = re.search(r"devices=\[([0-9,]+)\]", hs)
+    if not m:
+        return 0
+    ndim = len(exported.in_avals[0].shape)
+    dims = [int(x) for x in m.group(1).split(",")][:ndim]
+    for i, d in enumerate(dims):
+        if d > 1:
+            return i
+    return 0
+
+
 def read_exported(path: str) -> jax_export.Exported:
     """Deserialize an ``export_inference`` artifact (shape/dtype metadata
     in ``.in_avals``, execution via ``.call``)."""

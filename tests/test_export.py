@@ -254,6 +254,81 @@ def test_serve_runner_pod_artifact(small_model, tmp_path):
         np.testing.assert_array_equal(pred, want)
 
 
+def test_export_spatial_latency_artifact(small_model, tmp_path):
+    """export_inference_spatial: the eval forward HEIGHT-sharded over a
+    4-device mesh (GSPMD halo exchange), batch fully symbolic — serves
+    batch 1 (the latency case batch sharding cannot touch) and batch 3,
+    bit-exact vs the single-device artifact; heights that put a stride-32
+    stage below one row per shard are refused."""
+    import pytest as _pytest
+
+    from jax import export as jax_export
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from dasemanticsegmentationaml_tpu.utils.export import (
+        artifact_shard_dim, export_inference, export_inference_spatial)
+
+    model, v = small_model
+    h, w = 128, 64  # h/32 = 4 rows -> exactly 1 per shard
+    mesh = Mesh(np.array(jax.devices())[:4].reshape(4), ("spatial",))
+    path = str(tmp_path / "spatial.shlo")
+    exported = export_inference_spatial(model, v, h, w, mesh,
+                                        platforms=("cpu", "tpu"),
+                                        path=path)
+    assert exported.nr_devices == 4
+    assert artifact_shard_dim(exported) == 1
+    with open(path, "rb") as f:
+        again = jax_export.deserialize(f.read())
+    sh = NamedSharding(mesh, P(None, "spatial"))
+    ref_serve = export_inference(model, v, h, w, platforms=("cpu",))
+    rng = np.random.default_rng(9)
+    for bs in (1, 3):  # ANY batch, no mesh-multiple constraint
+        imgs = jnp.asarray(rng.integers(0, 256, (bs, h, w, 3)), jnp.uint8)
+        got = np.asarray(again.call(jax.device_put(imgs, sh)))
+        assert got.shape == (bs, h, w)
+        np.testing.assert_array_equal(got, np.asarray(ref_serve.call(imgs)))
+
+    with _pytest.raises(ValueError, match="not spatially shardable"):
+        export_inference_spatial(model, v, 96, 64, mesh)
+
+
+def test_serve_runner_spatial_artifact(small_model, tmp_path):
+    """serve.py detects the height-sharded artifact (shard dim 1), feeds
+    dim-1-sharded arrays, does NOT round the batch to a mesh multiple,
+    and reproduces the live predictions."""
+    from PIL import Image
+
+    from dasemanticsegmentationaml_tpu import serve
+    from dasemanticsegmentationaml_tpu.utils.export import (
+        export_inference_spatial)
+    from jax.sharding import Mesh
+
+    model, v = small_model
+    h, w = 128, 64
+    mesh = Mesh(np.array(jax.devices())[:4].reshape(4), ("spatial",))
+    path = str(tmp_path / "spatial.shlo")
+    export_inference_spatial(model, v, h, w, mesh,
+                             platforms=("cpu", "tpu"), path=path)
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(17)
+    arrs = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            for _ in range(3)]
+    for i, a in enumerate(arrs):
+        Image.fromarray(a).save(img_dir / f"f{i}.png")
+    out_dir = tmp_path / "out"
+    stats = serve.main([path, "--images", str(img_dir), "--output",
+                        str(out_dir), "--batch_size", "2"])
+    assert stats["images"] == 3
+
+    live = make_serving_fn(model, v)
+    for i, a in enumerate(arrs):
+        pred = np.asarray(Image.open(out_dir / f"f{i}_trainIds.png"))
+        want = np.asarray(live(jnp.asarray(a[None])))[0]
+        np.testing.assert_array_equal(pred, want)
+
+
 def test_export_sharded_quantized(small_model, tmp_path):
     """int8 PTQ composes with the pod route (both pure XLA): a quantized
     model exports batch-sharded and replays exactly."""
