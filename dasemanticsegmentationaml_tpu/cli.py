@@ -533,7 +533,8 @@ def main(argv=None, report_fn=None):
                 custom_da_step = make_sharded_da_step(
                     model, d_model, g_opt, d_opt, mesh,
                     lambda_adv=args.lambda_adv_target1,
-                    d_head=args.d_head, sync_bn=False)
+                    d_head=args.d_head, sync_bn=False,
+                    step_mode=args.da_step_mode)
                 untile_da = untile_state
 
         g_state, d_state, max_miou = train_da(
@@ -548,7 +549,9 @@ def main(argv=None, report_fn=None):
                                untile_da(s), name, **kw)),
             d_head=args.d_head,
             profiler=profiler, report_fn=report_fn,
-            da_step=custom_da_step)
+            da_step=custom_da_step, step_mode=args.da_step_mode,
+            lr_mode=("nni_faithful" if args.nni_faithful_lr
+                     else "reference"))
         if profiler is not None:
             profiler.close()
         precision, miou = evaluate_fn_of(untile_da(g_state))

@@ -5,6 +5,13 @@ Differences from the main trainer, mirrored from the reference
   * discriminator is always the full FCDiscriminator (train_nni.py:68);
   * D consumes the out32 auxiliary head (train_nni.py:135,150,156)
     -> --d_head 2;
+  * the update ordering is the COMBINED one (train_nni.py:105-163: one
+    zero_grad per optimizer, four accumulated backwards, one step per
+    optimizer -- both G forwards at the same initial weights, D stepped
+    once on summed src+tgt grads) -> --da_step_mode combined; trajectory
+    parity vs the reference's literal loop is pinned in
+    tests/test_eval_parity.py via tools/reference_eval.py::
+    run_reference_train_da_nni;
   * hyperparameters come from the tuner (batch_size, lr, lr_D1,
     num_epochs, lambda_adv1, weight_decay -- train_nni.py:58,305);
   * intermediate mIoU reported per validation epoch and the max at the end
@@ -14,7 +21,8 @@ The reference trial script's latent crashes are fixed: its GtaV ctor arity
 bug (train_nni.py:71 passes 5 args to a 4-param __init__) and missing ``os``
 import (train_nni.py:182) simply don't exist here, and the poly-LR bug
 (train_nni.py:98 decays ``optimizer`` twice instead of optimizer_D1) is
-implemented correctly.
+implemented correctly by default (the bug-faithful LR dataflow stays
+available via --nni_faithful_lr for parity oracles).
 """
 
 from __future__ import annotations
@@ -52,15 +60,27 @@ class _Reporter:
                 f.write(json.dumps({"type": "final", "value": value}) + "\n")
 
 
+# the reference's search-space key names (experiment_nni.py:107-114) map
+# onto ours, so a user's existing reference NNI config works unchanged
+_REFERENCE_PARAM_ALIASES = {
+    "batch-size": "batch_size",
+    "learning_rate": "lr",
+    "learning_rate_D": "lr_D1",
+    "lambda_adv_target1": "lambda_adv1",
+}
+
+
 def get_params(args) -> dict:
     if args.nni_params:
-        return json.loads(args.nni_params)
-    try:
-        import nni
+        params = json.loads(args.nni_params)
+    else:
+        try:
+            import nni
 
-        return nni.get_next_parameter()
-    except ImportError:
-        return {}
+            params = nni.get_next_parameter()
+        except ImportError:
+            params = {}
+    return {_REFERENCE_PARAM_ALIASES.get(k, k): v for k, v in params.items()}
 
 
 def main(argv=None):
@@ -78,6 +98,7 @@ def main(argv=None):
         "--domain_adaptation", "True",
         "--d_head", "2",                 # train_nni.py:135 out32 head
         "--depthwise", "False",          # train_nni.py:68 always FCD
+        "--da_step_mode", "combined",    # train_nni.py:116-163 ordering
     ]
     if "batch_size" in params:
         cli_args += ["--batch_size", str(int(params["batch_size"]))]

@@ -86,3 +86,25 @@ class PolyLR:
         beyond setting _current)."""
         for epoch in range(start_epoch):
             self(epoch)
+
+
+@dataclass
+class ConstantLR:
+    """A never-decayed LR with the PolyLR call surface.
+
+    Exists for the reference NNI trial's *faithful* LR semantics
+    (train_nni.py:97-98): both ``poly_lr_scheduler`` calls there mutate
+    ``optimizer`` (the generator's), so ``optimizer_D1``'s param-group LR
+    is never touched and the discriminator trains at a constant
+    ``learning_rate_D`` for the whole run, while the generator follows
+    the compounded poly schedule of ``learning_rate_D`` (the second call
+    overwrites the first). See train.adversarial.train_da(lr_mode=
+    'nni_faithful')."""
+
+    base_lr: float
+
+    def __call__(self, epoch: int) -> float:
+        return self.base_lr
+
+    def fast_forward(self, start_epoch: int) -> None:
+        pass

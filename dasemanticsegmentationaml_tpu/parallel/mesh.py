@@ -251,7 +251,8 @@ def make_sharded_da_step(g_model, d_model, g_optimizer, d_optimizer,
                          mesh: Mesh, *, lambda_adv: float,
                          ignore_index: int = 255, d_head: int = 0,
                          sync_bn: bool = True,
-                         axis_name: str = DATA_AXIS):
+                         axis_name: str = DATA_AXIS,
+                         step_mode: str = "interleaved"):
     """Data-parallel adversarial-DA 4-phase step over the mesh.
 
     sync_bn=True  -> the plain jitted step (train.adversarial.make_da_step)
@@ -275,11 +276,13 @@ def make_sharded_da_step(g_model, d_model, g_optimizer, d_optimizer,
         # today for multi-device DA)
         return make_da_step(g_model, d_model, g_optimizer, d_optimizer,
                             lambda_adv=lambda_adv,
-                            ignore_index=ignore_index, d_head=d_head)
+                            ignore_index=ignore_index, d_head=d_head,
+                            step_mode=step_mode)
 
     raw = make_da_step(g_model, d_model, g_optimizer, d_optimizer,
                        lambda_adv=lambda_adv, ignore_index=ignore_index,
-                       d_head=d_head, pmean_axis=axis_name, jit=False)
+                       d_head=d_head, pmean_axis=axis_name, jit=False,
+                       step_mode=step_mode)
 
     def local_step(g_state, d_state, src_i, src_l, tgt_i, lr_g, lr_d):
         untile = functools.partial(jax.tree.map, lambda x: x[0])

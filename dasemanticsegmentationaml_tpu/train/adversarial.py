@@ -36,6 +36,26 @@ with an explicit ``zero_grad(set_to_none=False)`` oracle.
 (train.py:230 -> output), while the NNI variant feeds the out32 auxiliary
 head (reference train_nni.py:135,150,156); both are supported.
 
+``step_mode``: the NNI trial script (reference train_nni.py:105-163) runs a
+DIFFERENT update algorithm from train.py's 4-phase step -- ONE
+``zero_grad`` per optimizer at step start, all four backward passes
+accumulated, then ONE ``scaler.step`` per optimizer (train_nni.py:116-117,
+127,141,153,159,161-163). The observable differences from the interleaved
+mode:
+
+  * both G forwards (source and target) happen at the SAME initial
+    weights -- there is no once-updated G' for the target pass;
+  * G receives a single SGD update on grad(seg) + grad(lambda_adv * adv)
+    summed at those initial weights (two sequential updates otherwise);
+  * D receives a single Adam update on grad(BCE_src) + grad(BCE_tgt),
+    both forwards at the OLD D weights (interleaved: the target forward
+    sees the post-source-step D).
+
+``step_mode='combined'`` reproduces that ordering exactly;
+``'interleaved'`` (default) is train.py:192-262. BN running stats update
+in torch module-call order in both modes (G: src then tgt; D: adv, src,
+tgt -- D train-mode forwards update stats even under requires_grad=False).
+
 The epoch loop reproduces the reference's *compounding* poly LR (train.py:
 185-186 feeds the current lr back as init) and its checkpoint naming
 (GTA5_<step>.pth / GTA5_<step>_D1.pth with DataParallel-style 'module.'
@@ -64,11 +84,18 @@ TARGET_LABEL = 1.0  # reference train.py:182
 def make_da_step(g_model, d_model, g_optimizer, d_optimizer, *,
                  lambda_adv: float, ignore_index: int = 255,
                  d_head: int = 0, donate: bool = True,
-                 pmean_axis: Optional[str] = None, jit: bool = True):
-    """Build the jitted 4-phase DA step.
+                 pmean_axis: Optional[str] = None, jit: bool = True,
+                 step_mode: str = "interleaved"):
+    """Build the jitted DA step.
 
     Returns step(g_state, d_state, src_images, src_labels, tgt_images,
                  lr_g, lr_d) -> (g_state, d_state, metrics dict).
+
+    step_mode: 'interleaved' = the main trainer's 4-phase step with
+    per-phase optimizer steps (reference train.py:192-262); 'combined' =
+    the NNI trial's single-zero-grad accumulate-then-step ordering
+    (reference train_nni.py:105-163) -- see the module docstring for the
+    exact semantic differences.
 
     pmean_axis + jit=False: the per-replica-BN data-parallel variant --
     the raw step for ``parallel.mesh.make_sharded_da_step``'s shard_map,
@@ -76,6 +103,8 @@ def make_da_step(g_model, d_model, g_optimizer, d_optimizer, *,
     axis while BN stats stay local, matching DataParallel's
     mean-reduced grads + unsynced BN (reference train.py:145-152).
     """
+    if step_mode not in ("interleaved", "combined"):
+        raise ValueError(f"unknown DA step_mode: {step_mode!r}")
     if pmean_axis is not None:
         def reduce(tree):
             return jax.lax.pmean(tree, pmean_axis)
@@ -188,6 +217,91 @@ def make_da_step(g_model, d_model, g_optimizer, d_optimizer, *,
         }
         return new_g_state, new_d_state, reduce(metrics)
 
+    def step_combined(g_state: TrainState, d_state: TrainState,
+                      src_images, src_labels, tgt_images, lr_g, lr_d):
+        """Reference train_nni.py:105-163: one zero_grad per optimizer,
+        four accumulated backwards, one step per optimizer."""
+        from ..ops.pallas.fused_ce import cross_entropy_upsampled
+
+        hw = src_images.shape[1:3]
+
+        # ---- G: grad(seg_src) + grad(lambda*adv_tgt), BOTH forwards at
+        # the initial weights, accumulated into one SGD update
+        # (train_nni.py:116-141 backwards, :161 scaler.step(optimizer)) --
+        def g_loss_fn(params):
+            feats_s, mut_s = g_apply_feats(params, g_state.batch_stats,
+                                           src_images)
+            up_src = resize_bilinear_align_corners(feats_s[d_head], hw)
+            # per-head summation order as train_nni.py:122-125
+            head_losses = [
+                cross_entropy_ignore(up_src, src_labels, ignore_index)
+                if i == d_head else
+                cross_entropy_upsampled(f, src_labels, hw, ignore_index)
+                for i, f in enumerate(feats_s)]
+            seg_loss = head_losses[0] + head_losses[1] + head_losses[2]
+            # target forward continues from the source forward's BN stats
+            # (same module called twice in train mode, train_nni.py:120,134)
+            feats_t, mut_t = g_apply_feats(params, mut_s["batch_stats"],
+                                           tgt_images)
+            up_t = resize_bilinear_align_corners(feats_t[d_head],
+                                                 tgt_images.shape[1:3])
+            probs_t = jax.nn.softmax(up_t.astype(jnp.float32), axis=-1)
+            # D params are closure constants: gradients flow through D's
+            # activations to G but never reach D -- requires_grad=False
+            # (train_nni.py:109-110) in functional form
+            d_out, d_mut = d_apply(d_state.params, d_state.batch_stats,
+                                   probs_t)
+            loss_d1 = bce_with_logits(d_out, SOURCE_LABEL) * lambda_adv
+            return seg_loss + loss_d1, (
+                mut_t["batch_stats"], d_mut["batch_stats"], up_src, up_t,
+                seg_loss, loss_d1)
+
+        (_, (g_stats, d_stats1, up_src, up_tgt, seg_loss, loss_d1)), \
+            g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+                g_state.params)
+        g_grads = reduce(g_grads)
+        g_opt = set_learning_rate(g_state.opt_state, lr_g)
+        upd, g_opt = g_optimizer.update(g_grads, g_opt, g_state.params)
+        g_params = jax.tree.map(lambda p, u: p + u, g_state.params, upd)
+        new_g_state = TrainState(params=g_params, batch_stats=g_stats,
+                                 opt_state=g_opt, step=g_state.step + 1)
+
+        # Detached softmax maps (train_nni.py:146-147).
+        probs_src = jax.lax.stop_gradient(
+            jax.nn.softmax(up_src.astype(jnp.float32), axis=-1))
+        probs_tgt = jax.lax.stop_gradient(
+            jax.nn.softmax(up_tgt.astype(jnp.float32), axis=-1))
+
+        # ---- D: grad(BCE_src@0) + grad(BCE_tgt@1), both forwards at the
+        # OLD D weights, one Adam update (train_nni.py:149-159 backwards,
+        # :162 scaler.step(optimizer_D1)). BN stats still update in call
+        # order: adv (d_stats1) -> src -> tgt. --------------------------
+        def d_loss_fn(params):
+            o_src, m_src = d_apply(params, d_stats1, probs_src)
+            l_src = bce_with_logits(o_src, SOURCE_LABEL)
+            o_tgt, m_tgt = d_apply(params, m_src["batch_stats"], probs_tgt)
+            l_tgt = bce_with_logits(o_tgt, TARGET_LABEL)
+            return l_src + l_tgt, (m_tgt["batch_stats"], l_src, l_tgt)
+
+        (_, (d_stats, loss_adv_src, loss_adv_tgt)), d_grads = \
+            jax.value_and_grad(d_loss_fn, has_aux=True)(d_state.params)
+        d_grads = reduce(d_grads)
+        d_opt = set_learning_rate(d_state.opt_state, lr_d)
+        d_upd, d_opt = d_optimizer.update(d_grads, d_opt, d_state.params)
+        d_params = jax.tree.map(lambda p, u: p + u, d_state.params, d_upd)
+        new_d_state = TrainState(params=d_params, batch_stats=d_stats,
+                                 opt_state=d_opt, step=d_state.step + 1)
+
+        metrics = {
+            "loss": seg_loss,                         # train_nni.py:125
+            "loss_D1": loss_d1,                       # train_nni.py:138
+            "loss_G": seg_loss + loss_d1,             # train_nni.py:165
+            "loss_adv": loss_adv_src + loss_adv_tgt,  # train_nni.py:166
+        }
+        return new_g_state, new_d_state, reduce(metrics)
+
+    if step_mode == "combined":
+        step = step_combined
     if not jit:
         return step
     donate_args = (0, 1) if donate else ()
@@ -199,7 +313,8 @@ def train_da(args, g_model, d_model, g_state, d_state, g_optimizer,
              prepare_source, prepare_target, evaluate_fn, writer=None,
              logger=None, checkpoint_fn: Optional[Callable] = None,
              d_head: int = 0, profiler=None,
-             report_fn: Optional[Callable] = None, da_step=None):
+             report_fn: Optional[Callable] = None, da_step=None,
+             step_mode: str = "interleaved", lr_mode: str = "reference"):
     """Epoch loop (reference train.py:176-299).
 
     report_fn(epoch, miou): called after every validation -- the HPO
@@ -207,15 +322,34 @@ def train_da(args, g_model, d_model, g_state, d_state, g_optimizer,
     train_nni.py:194 reports mIoU to the tuner at each validation epoch).
     da_step: override the default jitted step (the per-replica-BN
     data-parallel variant, parallel.mesh.make_sharded_da_step).
+    step_mode: forwarded to make_da_step ('interleaved' | 'combined').
+    lr_mode: 'reference' = train.py:185-186 (each optimizer compounds its
+    own poly schedule); 'nni_faithful' = the NNI trial's ACTUAL LR
+    dataflow (train_nni.py:97-98): both poly_lr_scheduler calls there
+    mutate ``optimizer`` (the generator's), so G follows the compounded
+    poly of learning_rate_D (the second call overwrites the first) and D
+    trains at a CONSTANT learning_rate_D -- a reference bug kept
+    reproducible for trajectory-parity oracles; the fixed behavior is
+    'reference'.
     """
     if da_step is None:
         da_step = make_da_step(g_model, d_model, g_optimizer, d_optimizer,
                                lambda_adv=args.lambda_adv_target1,
-                               d_head=d_head)
-    # compounding poly LR: reference train.py:185-186
-    sched_g = PolyLR(args.learning_rate, args.num_epochs, mode="compounding")
-    sched_d = PolyLR(args.learning_rate_D, args.num_epochs,
-                     mode="compounding")
+                               d_head=d_head, step_mode=step_mode)
+    if lr_mode == "nni_faithful":
+        from ..ops.schedules import ConstantLR
+
+        sched_g = PolyLR(args.learning_rate_D, args.num_epochs,
+                         mode="compounding")  # train_nni.py:98 hits G
+        sched_d = ConstantLR(args.learning_rate_D)  # D never decayed
+    elif lr_mode == "reference":
+        # compounding poly LR: reference train.py:185-186
+        sched_g = PolyLR(args.learning_rate, args.num_epochs,
+                         mode="compounding")
+        sched_d = PolyLR(args.learning_rate_D, args.num_epochs,
+                         mode="compounding")
+    else:
+        raise ValueError(f"unknown lr_mode: {lr_mode!r}")
     epoch_start = getattr(args, "epoch_start_i", 0)
     # a resumed run must continue the compounded schedule, not restart it
     sched_g.fast_forward(epoch_start)

@@ -111,6 +111,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--d_head", type=int, default=0, choices=[0, 2],
                    help="discriminator input head: 0=main (train.py:230), "
                         "2=out32 (train_nni.py:135)")
+    p.add_argument("--da_step_mode", type=str, default="interleaved",
+                   choices=["interleaved", "combined"],
+                   help="DA update ordering: 'interleaved' = train.py's "
+                        "4-phase step with per-phase optimizer steps "
+                        "(train.py:192-262); 'combined' = the NNI trial's "
+                        "single-zero-grad accumulate-then-step ordering "
+                        "(train_nni.py:105-163, what hpo.trial runs)")
+    p.add_argument("--nni_faithful_lr", type=str2bool, default=False,
+                   help="DA mode: reproduce the NNI trial's ACTUAL LR "
+                        "dataflow bug (train_nni.py:97-98 decays "
+                        "`optimizer` twice, so G follows lr_D's "
+                        "compounded poly and D's LR never decays) — for "
+                        "trajectory-parity oracles; default False = "
+                        "correct per-optimizer schedules")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ohem_threshold", type=float, default=0.7)
     p.add_argument("--ohem_keep_num", type=int, default=65536)

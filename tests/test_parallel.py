@@ -167,6 +167,56 @@ def test_sharded_per_replica_da_step(setup):
         assert max(jax.tree.leaves(diffs)) > 1e-7
 
 
+def test_sharded_combined_da_step_matches_single_device(setup):
+    """The NNI trial's COMBINED update ordering (train_nni.py:105-163,
+    --da_step_mode combined) through the data-parallel path: the sync-BN
+    sharded step over 8 devices on an 8-image batch must equal the
+    single-device combined step on the same full batch (SPMD global-batch
+    BN + inserted grad psums are mathematically the same program)."""
+    from dasemanticsegmentationaml_tpu.models import build_discriminator
+    from dasemanticsegmentationaml_tpu.parallel.mesh import (
+        make_sharded_da_step,
+    )
+    from dasemanticsegmentationaml_tpu.train import make_da_step
+
+    model, variables, opt, images, labels = setup
+    mesh = create_mesh(8)
+    d_model = build_discriminator(19, depthwise=False, batch_norm=False)
+    d_vars = d_model.init(jax.random.PRNGKey(2), jnp.zeros((1, H, W, 19)))
+    g_opt = make_optimizer("sgd", 0.01, momentum=0.9, weight_decay=5e-4,
+                           mask=unused_param_mask(variables["params"]))
+    d_opt = make_optimizer("adam", 1e-3, betas=(0.9, 0.99))
+
+    rng = np.random.default_rng(13)
+    tgt = rng.standard_normal((8, H, W, 3)).astype(np.float32)
+
+    sharded = make_sharded_da_step(model, d_model, g_opt, d_opt, mesh,
+                                   lambda_adv=1e-3, sync_bn=True,
+                                   step_mode="combined", d_head=2)
+    g_state = replicate_state(create_train_state(variables, g_opt), mesh)
+    d_state = replicate_state(create_train_state(d_vars, d_opt), mesh)
+    imgs, labs, tgts = shard_batch(
+        (images, labels, jnp.asarray(tgt)), mesh)
+    g_sh, d_sh, m_sh = sharded(g_state, d_state, imgs, labs, tgts,
+                               0.01, 1e-3)
+
+    local = make_da_step(model, d_model, g_opt, d_opt, lambda_adv=1e-3,
+                         step_mode="combined", d_head=2, donate=False)
+    g_lo, d_lo, m_lo = local(create_train_state(variables, g_opt),
+                             create_train_state(d_vars, d_opt),
+                             jnp.asarray(images), jnp.asarray(labels),
+                             jnp.asarray(tgt), 0.01, 1e-3)
+
+    for k in ("loss", "loss_D1", "loss_G", "loss_adv"):
+        np.testing.assert_allclose(float(m_sh[k]), float(m_lo[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+    for new_sh, new_lo in ((g_sh, g_lo), (d_sh, d_lo)):
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+            new_sh.params, new_lo.params)
+
+
 def test_check_spatial_height():
     """Library-level guard: EVERY stage of the stride-32 pyramid must be
     shard-aligned, not just the input or the last stage."""

@@ -31,6 +31,8 @@ import types
 
 REFERENCE_ROOT = os.environ.get("REFERENCE_ROOT", "/root/reference")
 
+_NNI_STUB = None  # (nni module, nni.experiment module) — see _install_nni_stub
+
 
 def _install_torchvision_stub():
     """Install a minimal, semantics-exact torchvision.transforms iff the
@@ -397,6 +399,173 @@ def run_reference_train_da(root_source: str, root_target: str,
     assert len(losses) == num_epochs, text[-2000:]
     (d_params,) = re.findall(r"The discriminator has:\s+(\d+)", text)
     return d_init, losses, float(precision), float(miou), int(d_params)
+
+
+def _install_nni_stub():
+    """Install an `nni` module stub iff the real one is unavailable (it is
+    not installed in this image). train_nni.py imports `nni` and
+    `from nni.experiment import Experiment` at module scope
+    (train_nni.py:9-10) and calls report_intermediate_result /
+    report_final_result (train_nni.py:194-195); the stub records those
+    calls. Returns the record dict {'intermediate': [...], 'final': [...]}
+    (reset per call)."""
+    global _NNI_STUB
+    if "nni" in sys.modules and not hasattr(sys.modules["nni"], "_record"):
+        return None  # real nni present: nothing to capture through
+    if _NNI_STUB is None:
+        try:
+            import nni  # noqa: F401
+
+            return None  # real nni importable: nothing to capture through
+        except ImportError:
+            pass
+        nni_mod = types.ModuleType("nni")
+        nni_mod._record = {"intermediate": [], "final": []}
+        nni_mod.get_next_parameter = lambda: {}
+        nni_mod.report_intermediate_result = (
+            lambda v: nni_mod._record["intermediate"].append(float(v)))
+        nni_mod.report_final_result = (
+            lambda v: nni_mod._record["final"].append(float(v)))
+        exp_mod = types.ModuleType("nni.experiment")
+
+        class Experiment:  # constructed only by experiment_nni.py
+            def __init__(self, *a, **k):
+                raise RuntimeError("nni stub: Experiment is not runnable")
+
+        exp_mod.Experiment = Experiment
+        nni_mod.experiment = exp_mod
+        _NNI_STUB = (nni_mod, exp_mod)
+    # reuse the SAME stub object every call: a previously-imported
+    # train_nni holds a reference to it, so its reports land in this
+    # record; reset it and (re)install for the duration of the run —
+    # the caller pops it from sys.modules afterwards so the rest of the
+    # process still sees nni as absent (hpo/ probes `import nni`)
+    _NNI_STUB[0]._record["intermediate"] = []
+    _NNI_STUB[0]._record["final"] = []
+    sys.modules["nni"] = _NNI_STUB[0]
+    sys.modules["nni.experiment"] = _NNI_STUB[1]
+    return _NNI_STUB[0]._record
+
+
+def run_reference_train_da_nni(root_source: str, root_target: str,
+                               root_val: str, g_pretrain_path: str,
+                               crop_height: int, crop_width: int,
+                               num_epochs: int, batch_size: int,
+                               workdir: str, learning_rate: float = 0.01,
+                               learning_rate_d: float = 1e-3,
+                               lambda_adv: float = 1e-3,
+                               weight_decay: float = 5e-4,
+                               d_seed: int = 0, num_classes: int = 19):
+    """Execute the reference's ACTUAL NNI-trial trainer
+    (train_nni.py:58-195 train_DA: always-FCDiscriminator, D consumes the
+    out32 head, single zero_grad + four accumulated backwards + one step
+    per optimizer, the :97-98 LR dataflow where G follows lr_D's
+    compounded poly and D's LR never decays) on CPU torch, then its own
+    val() (train_nni.py:19-56) over root_val.
+
+    Returns (d_init_state, per_epoch [(loss_G, loss_adv)] parsed from the
+    epoch prints (train_nni.py:178), final_precision, final_miou,
+    intermediate_mious reported to nni (train_nni.py:194)).
+
+    Environment shims beyond the eval oracle's (torchvision stand-in,
+    .cuda() identity): an `nni` module stub that records report_* calls,
+    and ONE minimal crash-bug shim — train_nni.py:71 calls
+    ``GtaV('train', root, aug, h, w)`` against the 4-parameter ctor
+    (GTAV.py:15), so the module's GtaV symbol is wrapped to drop that
+    stray leading 'train' argument (SURVEY.md section 4 bug #1; without
+    it the trial path cannot execute at all). The checkpoint branch's
+    function-local-``os`` crash (train_nni.py:182 vs :189, bug #2) is
+    avoided by a checkpoint_step larger than num_epochs, exactly like
+    run_reference_train_da does for train.py's twin bug.
+
+    Comparability contract: same as run_reference_train_da — pass
+    batch_size == len(source) == len(target) so each epoch is one zip'd
+    step and torch's shuffle order is irrelevant; capture D's init by
+    seeding immediately before construction (train_nni.py:68 is the
+    first torch-RNG consumer inside train_DA) and hand it to our CLI via
+    --d_pretrain_path.
+    """
+    import contextlib
+    import io
+    import re
+
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    _install_torchvision_stub()
+    _patch_cuda_noop()
+    nni_record = _install_nni_stub()
+
+    import torch
+    from torch.utils.data import DataLoader
+
+    import train_nni as ref_nni  # /root/reference/train_nni.py
+    from dataset.cityscapes import CityScapes as RefCityScapes
+    from model.model_stages import BiSeNet as RefBiSeNet
+
+    root_source = os.path.abspath(root_source)
+    root_target = os.path.abspath(root_target)
+    root_val = os.path.abspath(root_val)
+
+    orig_gtav = ref_nni.GtaV
+
+    def _gtav_arity_shim(_mode, root, aug_type, height, width):
+        # drop train_nni.py:71's stray 'train' arg; chdir-wrap for GtaV's
+        # CWD-relative './dataset/gta5_info.json' read (GTAV.py:26)
+        cwd = os.getcwd()
+        os.chdir(REFERENCE_ROOT)
+        try:
+            return orig_gtav(root, aug_type, height, width)
+        finally:
+            os.chdir(cwd)
+
+    # capture the exact FCDiscriminator init train_DA will draw
+    # (train_nni.py:68 — first RNG consumer; same seed, same class)
+    torch.manual_seed(d_seed)
+    d_init = {k: v.detach().cpu().numpy().copy()
+              for k, v in ref_nni.FCDiscriminator(num_classes=num_classes)
+              .state_dict().items()}
+
+    val_ds = RefCityScapes("val", root_val, crop_height, crop_width)
+    dl_val = DataLoader(val_ds, batch_size=1, shuffle=False, num_workers=0)
+    model = torch.nn.DataParallel(RefBiSeNet(
+        backbone="STDCNet813", n_classes=num_classes,
+        pretrain_model=g_pretrain_path, use_conv_last=False))
+    args = argparse.Namespace(
+        num_workers=0, num_classes=num_classes, optimizer="sgd",
+        crop_height=crop_height, crop_width=crop_width,
+        momentum=0.9,  # train_nni.py:88 reads args.momentum
+        aug_type=None, root_source=root_source, root_target=root_target,
+        # avoid the function-local-os crash branch (train_nni.py:180-183)
+        checkpoint_step=num_epochs + 99, validation_step=1,
+        save_model_path=os.path.join(workdir, "ref_nni_ckpt"))
+    os.makedirs(args.save_model_path, exist_ok=True)
+
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    buf = io.StringIO()
+    ref_nni.GtaV = _gtav_arity_shim
+    try:
+        torch.manual_seed(d_seed)  # replay the captured D init
+        with contextlib.redirect_stdout(buf):
+            ref_nni.train_DA(args, model, dl_val, batch_size=batch_size,
+                             learning_rate=learning_rate,
+                             learning_rate_D=learning_rate_d,
+                             num_epochs=num_epochs,
+                             lambda_adv_target1=lambda_adv,
+                             weight_decay=weight_decay)
+            precision, miou = ref_nni.val(args, model, dl_val)
+    finally:
+        ref_nni.GtaV = orig_gtav
+        os.chdir(cwd)
+        if nni_record is not None:  # keep `import nni` failing elsewhere
+            sys.modules.pop("nni", None)
+            sys.modules.pop("nni.experiment", None)
+    text = buf.getvalue()
+    losses = [(float(a), float(b)) for a, b in re.findall(
+        r"loss_seg = ([0-9.eE+-]+) loss_D1 = ([0-9.eE+-]+)", text)]
+    assert len(losses) == num_epochs, text[-2000:]
+    intermediates = list(nni_record["intermediate"]) if nni_record else []
+    return d_init, losses, float(precision), float(miou), intermediates
 
 
 def main(argv=None):
