@@ -60,16 +60,26 @@ def sample_space(rng: random.Random) -> Dict:
 
 
 class AnnealTuner:
-    """Maximizing simulated-annealing tuner over the unit cube."""
+    """Maximizing annealing tuner over the unit cube, NNI/hyperopt-Anneal
+    style: a random exploration phase, then Gaussian perturbations of the
+    best observed point with a width that shrinks per exploit step, plus a
+    small standing exploration probability. Defaults were tuned against
+    matched-budget random search on a deterministic toy objective
+    (tests/test_hpo.py::test_anneal_tuner_beats_random_search): a pure
+    single-start hill climb with fast decay LOSES to random-40 in 6D."""
 
-    def __init__(self, seed: int = 0, t0: float = 1.0, decay: float = 0.85):
+    def __init__(self, seed: int = 0, t0: float = 1.0, decay: float = 0.92,
+                 init_random: int = 10, explore_prob: float = 0.1):
         self.rng = random.Random(seed)
         self.t = t0
         self.decay = decay
+        self.init_random = init_random
+        self.explore_prob = explore_prob
         self.history: List[Tuple[Dict, float]] = []
 
     def generate_parameters(self) -> Dict:
-        if not self.history:
+        if (len(self.history) < self.init_random
+                or self.rng.random() < self.explore_prob):
             return sample_space(self.rng)
         best_params, _ = max(self.history, key=lambda kv: kv[1])
         params = {}
@@ -81,7 +91,8 @@ class AnnealTuner:
 
     def receive_trial_result(self, params: Dict, value: float) -> None:
         self.history.append((params, value))
-        self.t *= self.decay
+        if len(self.history) > self.init_random:
+            self.t *= self.decay
 
     @property
     def best(self) -> Optional[Tuple[Dict, float]]:

@@ -31,7 +31,7 @@ import types
 
 REFERENCE_ROOT = os.environ.get("REFERENCE_ROOT", "/root/reference")
 
-_NNI_STUB = None  # (nni module, nni.experiment module) — see _install_nni_stub
+_NNI_STUB = None  # (nni module, nni.experiment module) — see _nni_capture
 
 
 def _install_torchvision_stub():
@@ -401,24 +401,42 @@ def run_reference_train_da(root_source: str, root_target: str,
     return d_init, losses, float(precision), float(miou), int(d_params)
 
 
-def _install_nni_stub():
-    """Install an `nni` module stub iff the real one is unavailable (it is
-    not installed in this image). train_nni.py imports `nni` and
-    `from nni.experiment import Experiment` at module scope
-    (train_nni.py:9-10) and calls report_intermediate_result /
-    report_final_result (train_nni.py:194-195); the stub records those
-    calls. Returns the record dict {'intermediate': [...], 'final': [...]}
-    (reset per call)."""
-    global _NNI_STUB
-    if "nni" in sys.modules and not hasattr(sys.modules["nni"], "_record"):
-        return None  # real nni present: nothing to capture through
-    if _NNI_STUB is None:
-        try:
-            import nni  # noqa: F401
+def _nni_capture():
+    """Capture nni.report_{intermediate,final}_result for the duration of an
+    oracle run, in ANY environment (ADVICE r3 items 1-2). Returns
+    ``(record, cleanup)`` where record is {'intermediate': [...],
+    'final': [...]} and cleanup restores the process state; callers MUST
+    invoke cleanup in a ``finally`` that begins BEFORE any other work
+    (imports included — train_nni.py:9-10 imports nni at module scope), so
+    no exception path can leave the capture installed.
 
-            return None  # real nni importable: nothing to capture through
-        except ImportError:
-            pass
+    * real nni importable -> monkeypatch its two report functions (restored
+      by cleanup) so the oracle's return contract holds instead of reports
+      vanishing into the real package;
+    * nni absent -> install a module stub that records the calls (popped by
+      cleanup so the rest of the process still sees nni as absent —
+      hpo/trial.py probes ``import nni``)."""
+    global _NNI_STUB
+    try:
+        import nni as real_nni
+
+        if not hasattr(real_nni, "_record"):  # genuine package, not our stub
+            record = {"intermediate": [], "final": []}
+            saved = (real_nni.report_intermediate_result,
+                     real_nni.report_final_result)
+            real_nni.report_intermediate_result = (
+                lambda v: record["intermediate"].append(float(v)))
+            real_nni.report_final_result = (
+                lambda v: record["final"].append(float(v)))
+
+            def cleanup():
+                (real_nni.report_intermediate_result,
+                 real_nni.report_final_result) = saved
+
+            return record, cleanup
+    except ImportError:
+        pass
+    if _NNI_STUB is None:
         nni_mod = types.ModuleType("nni")
         nni_mod._record = {"intermediate": [], "final": []}
         nni_mod.get_next_parameter = lambda: {}
@@ -444,7 +462,12 @@ def _install_nni_stub():
     _NNI_STUB[0]._record["final"] = []
     sys.modules["nni"] = _NNI_STUB[0]
     sys.modules["nni.experiment"] = _NNI_STUB[1]
-    return _NNI_STUB[0]._record
+
+    def cleanup():
+        sys.modules.pop("nni", None)
+        sys.modules.pop("nni.experiment", None)
+
+    return _NNI_STUB[0]._record, cleanup
 
 
 def run_reference_train_da_nni(root_source: str, root_target: str,
@@ -485,15 +508,34 @@ def run_reference_train_da_nni(root_source: str, root_target: str,
     first torch-RNG consumer inside train_DA) and hand it to our CLI via
     --d_pretrain_path.
     """
-    import contextlib
-    import io
-    import re
-
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
     _install_torchvision_stub()
     _patch_cuda_noop()
-    nni_record = _install_nni_stub()
+    # whole-body finally: any exception below (imports, dataset/model
+    # construction, the run itself) must still restore the process's nni
+    # state (ADVICE r3 item 1)
+    nni_record, nni_cleanup = _nni_capture()
+    try:
+        return _run_reference_train_da_nni_inner(
+            root_source, root_target, root_val, g_pretrain_path,
+            crop_height, crop_width, num_epochs, batch_size, workdir,
+            learning_rate, learning_rate_d, lambda_adv, weight_decay,
+            d_seed, num_classes, nni_record)
+    finally:
+        nni_cleanup()
+
+
+def _run_reference_train_da_nni_inner(root_source, root_target, root_val,
+                                      g_pretrain_path, crop_height,
+                                      crop_width, num_epochs, batch_size,
+                                      workdir, learning_rate,
+                                      learning_rate_d, lambda_adv,
+                                      weight_decay, d_seed, num_classes,
+                                      nni_record):
+    import contextlib
+    import io
+    import re
 
     import torch
     from torch.utils.data import DataLoader
@@ -557,14 +599,11 @@ def run_reference_train_da_nni(root_source: str, root_target: str,
     finally:
         ref_nni.GtaV = orig_gtav
         os.chdir(cwd)
-        if nni_record is not None:  # keep `import nni` failing elsewhere
-            sys.modules.pop("nni", None)
-            sys.modules.pop("nni.experiment", None)
     text = buf.getvalue()
     losses = [(float(a), float(b)) for a, b in re.findall(
         r"loss_seg = ([0-9.eE+-]+) loss_D1 = ([0-9.eE+-]+)", text)]
     assert len(losses) == num_epochs, text[-2000:]
-    intermediates = list(nni_record["intermediate"]) if nni_record else []
+    intermediates = list(nni_record["intermediate"])
     return d_init, losses, float(precision), float(miou), intermediates
 
 
