@@ -9,7 +9,8 @@ from .labels import (
     write_gta5_info_json,
 )
 from .datasets import CityScapes, GtaV, SyntheticSegDataset, train_val_split
-from .pipeline import Loader, prepare_batch, device_prefetch
+from .pipeline import (Loader, PipelineStallError, prepare_batch,
+                       device_prefetch)
 
 __all__ = [
     "CITYSCAPES_LABELS",
@@ -24,4 +25,5 @@ __all__ = [
     "Loader",
     "prepare_batch",
     "device_prefetch",
+    "PipelineStallError",
 ]

@@ -31,6 +31,15 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
+class PipelineStallError(RuntimeError):
+    """A named, diagnosable input-pipeline stall (SURVEY.md section 5.2).
+
+    Raised instead of hanging when a decode worker or an H2D transfer
+    exceeds its watchdog timeout; the message names the STAGE ('decode
+    worker' / 'H2D transfer'), the batch, and the dataset index so a
+    wedged NFS mount or bad file is immediately attributable."""
+
+
 @partial(jax.jit, static_argnames=("aug_type", "augment_labels", "remap",
                                    "dtype"))
 def prepare_batch(images_u8: jax.Array, labels_u8: jax.Array,
@@ -68,7 +77,7 @@ class Loader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, drop_last: bool = True,
                  num_workers: int = 4, process_id: int = 0,
-                 process_count: int = 1):
+                 process_count: int = 1, worker_timeout: float = 120.0):
         """batch_size is the GLOBAL batch; with process_count > 1 this
         loader yields process `process_id`'s contiguous slice
         (rows [pid*local : (pid+1)*local) of each global batch, local =
@@ -90,6 +99,7 @@ class Loader:
         self.num_workers = max(1, num_workers)
         self.process_id = process_id
         self.process_count = max(process_count, 1)
+        self.worker_timeout = worker_timeout
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -113,7 +123,12 @@ class Loader:
         n_batches = len(self)
         bs = self.batch_size
 
-        with futures.ThreadPoolExecutor(self.num_workers) as pool:
+        # No `with` block: ThreadPoolExecutor.__exit__ JOINS workers, so a
+        # wedged decode thread would turn the watchdog's loud failure back
+        # into a silent hang at pool teardown. shutdown(wait=False,
+        # cancel_futures=True) lets the stall propagate immediately.
+        pool = futures.ThreadPoolExecutor(self.num_workers)
+        try:
             # Pipeline: keep up to 2 batches of sample futures in flight.
             pending = collections.deque()
 
@@ -123,8 +138,9 @@ class Loader:
                     local = bs // self.process_count
                     lo = self.process_id * local
                     idxs = idxs[lo:lo + local]
-                pending.append([pool.submit(self.dataset.__getitem__, int(i))
-                                for i in idxs])
+                pending.append(
+                    [(pool.submit(self.dataset.__getitem__, int(i)), int(i))
+                     for i in idxs])
 
             ahead = min(2, n_batches)
             for b in range(ahead):
@@ -133,24 +149,49 @@ class Loader:
                 if b + ahead < n_batches:
                     submit(b + ahead)
                 # watchdog: a wedged decode (bad file, dead NFS mount)
-                # surfaces as a loud TimeoutError instead of a silent
+                # surfaces as a loud, NAMED failure instead of a silent
                 # hang (SURVEY.md section 5.2)
-                samples = [f.result(timeout=120.0)
-                           for f in pending.popleft()]
+                samples = []
+                for f, ds_idx in pending.popleft():
+                    try:
+                        samples.append(f.result(timeout=self.worker_timeout))
+                    except futures.TimeoutError:
+                        raise PipelineStallError(
+                            f"decode worker stalled: batch {b}, dataset "
+                            f"index {ds_idx} not decoded after "
+                            f"{self.worker_timeout:g}s "
+                            f"(dataset={type(self.dataset).__name__}, "
+                            f"num_workers={self.num_workers})") from None
                 images = np.stack([s[0] for s in samples])
                 labels = np.stack([s[1] for s in samples])
                 yield images, labels
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
 
 
-def device_prefetch(iterator, depth: int = 2, sharding=None):
+def device_prefetch(iterator, depth: int = 2, sharding=None,
+                    transfer_timeout: Optional[float] = 300.0):
     """Move host batches to device ahead of consumption (double buffering).
 
     sharding: optional jax.sharding.Sharding for the batch (data-parallel
     meshes); default is the single default device.
+    transfer_timeout: watchdog (seconds) on each device_put DISPATCH — a
+    wedged device runtime blocks dispatch (observed on this stack: a
+    VMEM-OOM'd chip claim hangs every subsequent call), and this surfaces
+    it as a named PipelineStallError instead of a silent hang. None
+    disables. Completion is asynchronous as always; the watchdog guards
+    the blocking part.
     """
     queue = collections.deque()
+    xfer = (futures.ThreadPoolExecutor(1, thread_name_prefix="h2d")
+            if transfer_timeout is not None else None)
+
+    batch_counter = [0]
 
     def put(host_batch):
+        b = batch_counter[0]
+        batch_counter[0] += 1
+
         def one(x):
             if sharding is None and isinstance(x, jax.Array):
                 # already on device (the trainers prefetch PREPARED
@@ -158,20 +199,35 @@ def device_prefetch(iterator, depth: int = 2, sharding=None):
                 # device_put would be a no-op single-process but raises
                 # on multi-process global arrays (not fully addressable).
                 return x
-            return jax.device_put(x, sharding)
+            if xfer is None:
+                return jax.device_put(x, sharding)
+            fut = xfer.submit(jax.device_put, x, sharding)
+            try:
+                return fut.result(timeout=transfer_timeout)
+            except futures.TimeoutError:
+                raise PipelineStallError(
+                    f"H2D transfer stalled: batch {b} device_put dispatch "
+                    f"not done after {transfer_timeout:g}s "
+                    f"(sharding={sharding})") from None
 
         return tuple(one(x) for x in host_batch)
 
     it = iter(iterator)
     try:
-        for _ in range(depth):
-            queue.append(put(next(it)))
-    except StopIteration:
-        pass
-    while queue:
-        nxt = queue.popleft()
         try:
-            queue.append(put(next(it)))
+            for _ in range(depth):
+                queue.append(put(next(it)))
         except StopIteration:
             pass
-        yield nxt
+        while queue:
+            nxt = queue.popleft()
+            try:
+                queue.append(put(next(it)))
+            except StopIteration:
+                pass
+            yield nxt
+    finally:
+        if xfer is not None:
+            # wait=False: a wedged device_put thread must not convert the
+            # watchdog's named failure back into a hang at teardown
+            xfer.shutdown(wait=False, cancel_futures=True)

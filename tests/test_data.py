@@ -184,6 +184,76 @@ def test_device_prefetch_order():
         assert int(np.asarray(x)[0, 0]) == i
 
 
+def test_loader_watchdog_names_hung_decode_worker():
+    """SURVEY section 5.2 watchdog (VERDICT r3 weak #3): a wedged decode
+    worker must raise a TIMELY, NAMED PipelineStallError — stage, batch,
+    and dataset index in the message — instead of hanging the epoch."""
+    import threading
+    import time
+
+    from dasemanticsegmentationaml_tpu.data import PipelineStallError
+
+    release = threading.Event()
+    base = SyntheticSegDataset(length=8, height=4, width=4)
+
+    class HangingDataset:
+        def __len__(self):
+            return len(base)
+
+        def __getitem__(self, idx):
+            if idx == 5:  # lands in batch 1 (shuffle=False, bs=4)
+                release.wait(timeout=30.0)  # "hung" worker, test-releasable
+            return base[idx]
+
+    loader = Loader(HangingDataset(), batch_size=4, shuffle=False,
+                    num_workers=2, worker_timeout=0.5)
+    t0 = time.monotonic()
+    try:
+        with pytest.raises(PipelineStallError) as exc:
+            list(loader)
+        elapsed = time.monotonic() - t0
+        msg = str(exc.value)
+        assert "decode worker stalled" in msg
+        assert "batch 1" in msg and "index 5" in msg
+        assert "HangingDataset" in msg
+        assert elapsed < 10.0, f"watchdog not timely: {elapsed:.1f}s"
+    finally:
+        release.set()  # let the stuck thread exit so pytest can terminate
+
+
+def test_device_prefetch_watchdog_names_h2d_stall(monkeypatch):
+    """A stalled device_put dispatch surfaces as a named H2D
+    PipelineStallError (not a hang)."""
+    import threading
+    import time
+
+    from dasemanticsegmentationaml_tpu.data import PipelineStallError
+    from dasemanticsegmentationaml_tpu.data import pipeline as pl
+
+    release = threading.Event()
+
+    def stalled_device_put(x, sharding=None):
+        release.wait(timeout=30.0)
+        return x
+
+    monkeypatch.setattr(pl.jax, "device_put", stalled_device_put)
+    batches = [(np.zeros((2, 2)), np.zeros((2,))) for _ in range(3)]
+    t0 = time.monotonic()
+    try:
+        with pytest.raises(PipelineStallError) as exc:
+            list(pl.device_prefetch(iter(batches), depth=2,
+                                    transfer_timeout=0.5))
+        assert "H2D transfer stalled" in str(exc.value)
+        assert "batch 0" in str(exc.value)
+        assert time.monotonic() - t0 < 10.0
+    finally:
+        release.set()
+    # numpy batches still transfer when the watchdog is disabled
+    out = list(pl.device_prefetch(iter(batches), depth=2,
+                                  transfer_timeout=None))
+    assert len(out) == 3
+
+
 # ------------------------------------------------------------- batch prep
 def test_prepare_batch_normalization():
     imgs = np.full((2, 4, 4, 3), 128, dtype=np.uint8)
