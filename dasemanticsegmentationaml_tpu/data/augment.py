@@ -46,22 +46,57 @@ def rgb_to_grayscale(img: jax.Array) -> jax.Array:
     return r * (299 / 1000) + g * (587 / 1000) + b * (114 / 1000)
 
 
+def pil_luma(img: jax.Array) -> jax.Array:
+    """Pillow convert('L') EXACTLY: integer (19595 R + 38470 G + 7471 B
+    + 0x8000) >> 16 (augment_pil_exact.luma, validated over the full RGB
+    cube). img float HWC with uint8-origin integer values; returns float
+    integer values."""
+    i = img.astype(jnp.int32)
+    l_int = (i[..., 0] * 19595 + i[..., 1] * 38470 + i[..., 2] * 7471
+             + 0x8000) >> 16
+    return l_int.astype(jnp.float32)
+
+
 def _clip(img: jax.Array) -> jax.Array:
     return jnp.clip(img, 0.0, 255.0)
 
 
-def adjust_brightness(img: jax.Array, factor: jax.Array) -> jax.Array:
+def _pil_blend(degenerate, img: jax.Array, factor) -> jax.Array:
+    """Image.blend semantics on uint8-valued floats: float32
+    ``degenerate + factor*(img - degenerate)``, clipped, TRUNCATED
+    (Pillow Blend.c casts; see augment_pil_exact._blend)."""
+    f = jnp.float32(factor)
+    d = jnp.asarray(degenerate, jnp.float32)
+    t = d + f * (img.astype(jnp.float32) - d)
+    return jnp.trunc(_clip(t))
+
+
+def adjust_brightness(img: jax.Array, factor: jax.Array,
+                      pil_exact: bool = False) -> jax.Array:
+    if pil_exact:
+        return _pil_blend(0.0, img, factor)
     return _clip(img * factor)
 
 
-def adjust_contrast(img: jax.Array, factor: jax.Array) -> jax.Array:
-    # PIL ImageEnhance.Contrast: blend against the mean of the L channel
-    # (rounded to int in PIL; we keep float).
+def adjust_contrast(img: jax.Array, factor: jax.Array,
+                    pil_exact: bool = False) -> jax.Array:
+    if pil_exact:
+        # ImageStat's int(mean(L)+0.5) in exact integer math:
+        # floor(s/n + 0.5) == (2s+n)//(2n)
+        l_int = pil_luma(img).astype(jnp.int32)
+        s = jnp.sum(l_int)
+        n = l_int.size
+        mean = (2 * s + n) // (2 * n)
+        return _pil_blend(mean.astype(jnp.float32), img, factor)
+    # float formulation: blend against the float mean of the L channel
     mean = jnp.mean(rgb_to_grayscale(img))
     return _clip((img - mean) * factor + mean)
 
 
-def adjust_saturation(img: jax.Array, factor: jax.Array) -> jax.Array:
+def adjust_saturation(img: jax.Array, factor: jax.Array,
+                      pil_exact: bool = False) -> jax.Array:
+    if pil_exact:
+        return _pil_blend(pil_luma(img)[..., None], img, factor)
     gray = rgb_to_grayscale(img)[..., None]
     return _clip((img - gray) * factor + gray)
 
@@ -106,8 +141,68 @@ def adjust_hue(img: jax.Array, hue_shift: jax.Array) -> jax.Array:
     return _clip(jnp.stack([r2, g2, b2], axis=-1) * 255.0)
 
 
-def to_grayscale3(img: jax.Array) -> jax.Array:
-    gray = rgb_to_grayscale(img)
+def adjust_hue_pil(img: jax.Array, hue_shift_u8: int) -> jax.Array:
+    """torchvision-on-PIL adjust_hue's STRUCTURE on device: quantize to
+    the uint8 HSV planes (Pillow Convert.c rgb2hsv), shift H by an integer
+    with uint8 wraparound, convert back (hsv2rgb with C round()). Matches
+    augment_pil_exact.adjust_hue except at float32-vs-float64 quantizer
+    ties (Pillow mixes double in two spots we can't reproduce on a
+    float32-only device) — the golden test measures that envelope
+    (off-by-one lsb on a sub-percent pixel fraction).
+
+    hue_shift_u8: integer shift of the H plane, from
+    augment_pil_exact.hue_shift_u8(hue_factor) — a STATIC host int.
+    """
+    i = img.astype(jnp.int32)
+    r, g, b = i[..., 0], i[..., 1], i[..., 2]
+    maxc = jnp.maximum(jnp.maximum(r, g), b)
+    minc = jnp.minimum(jnp.minimum(r, g), b)
+    uv = maxc - minc
+    gray = uv == 0
+    cr = jnp.where(gray, 1, uv).astype(jnp.float32)
+    maxf = jnp.where(maxc == 0, 1, maxc).astype(jnp.float32)
+    s32 = uv.astype(jnp.float32) / maxf
+    s_q = jnp.floor(s32 * 255.0)
+    rc = (maxc - r).astype(jnp.float32) / cr
+    gc = (maxc - g).astype(jnp.float32) / cr
+    bc = (maxc - b).astype(jnp.float32) / cr
+    h = jnp.where(maxc == r, bc - gc,
+                  jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = jnp.mod(h / 6.0 + 1.0, 1.0)
+    h_q = jnp.floor(h * 255.0).astype(jnp.int32)
+    h_q = jnp.where(gray, 0, h_q)
+    s_q = jnp.where(gray, 0.0, s_q)
+
+    h_shifted = (h_q + int(hue_shift_u8)) % 256
+
+    # hsv2rgb (Pillow Convert.c): i = floor(h*6/255); p/q/t = round(...)
+    x = h_shifted.astype(jnp.float32) * 6.0 / 255.0
+    sector = jnp.floor(x).astype(jnp.int32)
+    f = x - jnp.floor(x)
+    fs = s_q / 255.0
+    v = maxc.astype(jnp.float32)
+    # C round() is half-away-from-zero; operands are >= 0 -> floor(v+0.5)
+    p = jnp.floor(v * (1.0 - fs) + 0.5)
+    q = jnp.floor(v * (1.0 - fs * f) + 0.5)
+    t = jnp.floor(v * (1.0 - fs * (1.0 - f)) + 0.5)
+    sector = sector % 6
+
+    def pick(opts):
+        out = opts[5]
+        for k in range(4, -1, -1):
+            out = jnp.where(sector == k, opts[k], out)
+        return out
+
+    r2 = pick([v, q, p, p, t, v])
+    g2 = pick([t, v, v, q, p, p])
+    b2 = pick([p, p, t, v, v, q])
+    out = jnp.stack([r2, g2, b2], axis=-1)
+    return jnp.where(gray[..., None], maxc.astype(jnp.float32)[..., None],
+                     out)
+
+
+def to_grayscale3(img: jax.Array, pil_exact: bool = False) -> jax.Array:
+    gray = pil_luma(img) if pil_exact else rgb_to_grayscale(img)
     return jnp.repeat(gray[..., None], 3, axis=-1)
 
 
@@ -153,6 +248,31 @@ def _source_coords(h: int, w: int, coeffs: jax.Array):
     return sx, sy
 
 
+def _gather_bilinear(img: jax.Array, x0i, y0i, wx, wy) -> jax.Array:
+    """Blend the 4 bilinear taps at (edge-clamped) integer corners with
+    fractional weights. Gather all four taps with ONE flat gather: stack
+    the (x+1), (y+1), (x+1,y+1) shifts on the channel axis so the tap
+    neighborhood lives in the gathered row. 4 separate 2D gathers
+    measured 6.6 s per 8-image batch; this form is ~40x faster."""
+    h, w, ch = img.shape
+    # bf16 gather rows are ~30% faster than fp32 and exact for
+    # uint8-origin pixel values (integers <= 255 fit bf16's mantissa);
+    # for already-jittered float pixels the 2^-8 rounding is far below
+    # augmentation noise.
+    f = img.astype(jnp.bfloat16)
+    right = jnp.concatenate([f[:, 1:], f[:, -1:]], axis=1)
+    down = jnp.concatenate([f[1:], f[-1:]], axis=0)
+    downright = jnp.concatenate([right[1:], right[-1:]], axis=0)
+    stack = jnp.concatenate([f, right, down, downright], axis=-1)
+    flat = stack.reshape(h * w, 4 * ch)
+    idx = (y0i * w + x0i).reshape(-1)
+    g = jnp.take(flat, idx, axis=0).reshape(h, w, 4, ch)
+    g = g.astype(jnp.float32)
+    top = g[..., 0, :] * (1 - wx)[..., None] + g[..., 1, :] * wx[..., None]
+    bot = g[..., 2, :] * (1 - wx)[..., None] + g[..., 3, :] * wx[..., None]
+    return top * (1 - wy)[..., None] + bot * wy[..., None]
+
+
 def warp(img: jax.Array, coeffs: jax.Array, mode: str = "bilinear",
          fill: float = 0.0) -> jax.Array:
     """Inverse-warp an HWC (or HW) image by homography coeffs (dst->src)."""
@@ -174,33 +294,55 @@ def warp(img: jax.Array, coeffs: jax.Array, mode: str = "bilinear",
     else:
         x0 = jnp.floor(sx)
         y0 = jnp.floor(sy)
-        wx = sx - x0
-        wy = sy - y0
+        # low-edge clamp: for x0 == -1 (source in [-0.5, 0)) BOTH taps are
+        # pixel 0 (PIL edge semantics); the stacked gather would otherwise
+        # blend pixels 0 and 1 — zero the weight instead. The high edge is
+        # already right: the shifted stacks duplicate the last row/column.
+        wx = jnp.where(x0 < 0, 0.0, sx - x0)
+        wy = jnp.where(y0 < 0, 0.0, sy - y0)
         x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
         y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-        # Gather all four bilinear taps with ONE flat gather: stack the
-        # (x+1), (y+1), (x+1,y+1) shifts on the channel axis so the tap
-        # neighborhood lives in the gathered row. 4 separate 2D gathers
-        # measured 6.6 s per 8-image batch; this form is ~40x faster.
-        ch = img.shape[-1]
-        # bf16 gather rows are ~30% faster than fp32 and exact for
-        # uint8-origin pixel values (integers <= 255 fit bf16's mantissa);
-        # for already-jittered float pixels the 2^-8 rounding is far below
-        # augmentation noise.
-        f = img.astype(jnp.bfloat16)
-        right = jnp.concatenate([f[:, 1:], f[:, -1:]], axis=1)
-        down = jnp.concatenate([f[1:], f[-1:]], axis=0)
-        downright = jnp.concatenate([right[1:], right[-1:]], axis=0)
-        stack = jnp.concatenate([f, right, down, downright], axis=-1)
-        flat = stack.reshape(h * w, 4 * ch)
-        idx = (y0i * w + x0i).reshape(-1)
-        g = jnp.take(flat, idx, axis=0).reshape(h, w, 4, ch)
-        g = g.astype(jnp.float32)
-        top = g[..., 0, :] * (1 - wx)[..., None] + g[..., 1, :] * wx[..., None]
-        bot = g[..., 2, :] * (1 - wx)[..., None] + g[..., 3, :] * wx[..., None]
-        out = top * (1 - wy)[..., None] + bot * wy[..., None]
+        out = _gather_bilinear(img, x0i, y0i, wx, wy)
 
     out = jnp.where(oob[..., None], jnp.asarray(fill, out.dtype), out)
+    if squeeze:
+        out = out[..., 0]
+    return out
+
+
+def warp_bilinear_pil_exact(img: jax.Array, coeffs) -> jax.Array:
+    """PIL Image.transform(PERSPECTIVE, BILINEAR) replay with STATIC
+    host coeffs: the homography/floor/oob math runs on the host in
+    float64 (Pillow's generic-transform precision — the device's float32
+    evaluation flips floor() on ~1% of pixels), the gather + blend runs
+    on device, and the store truncates like Pillow. Residual deviation:
+    float32 blend-truncation ties only (golden-test bounded)."""
+    import numpy as np
+
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    h, w, _ = img.shape
+    a, b, c, d, e, f, g, hh = [float(v) for v in coeffs]
+    ys = np.arange(h, dtype=np.float64) + 0.5
+    xs = np.arange(w, dtype=np.float64) + 0.5
+    yy, xx = np.meshgrid(ys, xs, indexing="ij")
+    den = g * xx + hh * yy + 1.0
+    sx = (a * xx + b * yy + c) / den - 0.5
+    sy = (d * xx + e * yy + f) / den - 0.5
+    oob = (sx < -0.5) | (sx > w - 0.5) | (sy < -0.5) | (sy > h - 0.5)
+    x0 = np.floor(sx)
+    y0 = np.floor(sy)
+    # low-edge clamp: x0 == -1 -> both taps are pixel 0 (see warp())
+    wx = np.where(x0 < 0, 0.0, sx - x0).astype(np.float32)
+    wy = np.where(y0 < 0, 0.0, sy - y0).astype(np.float32)
+    x0i = np.clip(x0.astype(np.int32), 0, w - 1)
+    y0i = np.clip(y0.astype(np.int32), 0, h - 1)
+
+    out = _gather_bilinear(img, jnp.asarray(x0i), jnp.asarray(y0i),
+                           jnp.asarray(wx), jnp.asarray(wy))
+    out = jnp.trunc(_clip(out))
+    out = jnp.where(jnp.asarray(oob)[..., None], jnp.float32(0.0), out)
     if squeeze:
         out = out[..., 0]
     return out
@@ -222,6 +364,37 @@ def rotation_coeffs(angle_deg: jax.Array, h: int, w: int) -> jax.Array:
     e = cos
     f = cy - cx * sin - cy * cos
     return jnp.stack([a, b, c, d, e, f, jnp.zeros(()), jnp.zeros(())])
+
+
+def rotate_nearest_pil_exact(img: jax.Array, angle: float,
+                             fill: float = 0.0) -> jax.Array:
+    """PIL Image.rotate(angle, NEAREST, expand=False) BIT-exactly on
+    device: Pillow's Geometry.c NEAREST affine fast path is 16.16
+    fixed-point INTEGER accumulation (augment_pil_exact.
+    rotate_fixed_point_starts), so with a static Python angle the whole
+    sampling is int32 arithmetic + one flat gather — no float ties.
+    angle must be a static (host) float."""
+    from .augment_pil_exact import rotate_fixed_point_starts
+
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    h, w, ch = img.shape
+    xin0, yin0, dxx, dyy, dxr, dyr = rotate_fixed_point_starts(
+        float(angle), w, h)
+    xs = jnp.arange(w, dtype=jnp.int32)
+    ys = jnp.arange(h, dtype=jnp.int32)
+    xin = (xin0 + ys[:, None] * dxr + xs[None, :] * dxx) >> 16
+    yin = (yin0 + ys[:, None] * dyr + xs[None, :] * dyy) >> 16
+    oob = (xin < 0) | (xin >= w) | (yin < 0) | (yin >= h)
+    xi = jnp.clip(xin, 0, w - 1)
+    yi = jnp.clip(yin, 0, h - 1)
+    out = jnp.take(img.reshape(h * w, ch), (yi * w + xi).reshape(-1),
+                   axis=0).reshape(h, w, ch)
+    out = jnp.where(oob[..., None], jnp.asarray(fill, out.dtype), out)
+    if squeeze:
+        out = out[..., 0]
+    return out
 
 
 def sample_perspective_endpoints(key: jax.Array, h: int, w: int,
@@ -284,6 +457,70 @@ def _aug_b_gs_r(img, label, key, augment_labels):
 
 
 _FAMILIES = {"CS-HF": _aug_cs_hf, "H-RP": _aug_h_rp, "B-GS-R": _aug_b_gs_r}
+
+
+def apply_family_with_params(img: jax.Array, label: jax.Array,
+                             aug_type: str, params: dict,
+                             augment_labels: bool = False,
+                             pil_exact: bool = True):
+    """One aug menu with EXPLICIT parameters instead of a PRNG key — the
+    on-device twin of augment_pil_exact.apply_family, used to replay a
+    reference-side (torch-seeded) augmentation realization through OUR
+    kernels (tools/reference_eval.extract_aug_params produces `params`).
+
+    pil_exact=True routes color ops through the bit-exact PIL semantics
+    (trunc blends, integer luma, exact int-mean contrast) and rotation
+    through the integer fixed-point PIL path — CS-HF and B-GS-R outputs
+    are then BIT-identical to torchvision-on-PIL; hue and the bilinear
+    perspective warp keep float32 device math with measured sub-lsb tie
+    envelopes (tests/test_augment_parity.py pins both claims).
+    """
+    if not params.get("applied", True):
+        return img, label
+    if aug_type == "CS-HF":
+        img = adjust_contrast(img, params["contrast"], pil_exact=pil_exact)
+        img = adjust_saturation(img, params["saturation"],
+                                pil_exact=pil_exact)
+        img = hflip(img)
+        if augment_labels:
+            label = label[:, ::-1]
+        return img, label
+    if aug_type == "H-RP":
+        if pil_exact:
+            from .augment_pil_exact import hue_shift_u8
+            img = adjust_hue_pil(img, hue_shift_u8(params["hue"]))
+            img = warp_bilinear_pil_exact(img, params["coeffs"])
+        else:
+            img = adjust_hue(img, jnp.float32(params["hue"]))
+            img = warp(img, jnp.asarray(params["coeffs"], jnp.float32),
+                       mode="bilinear", fill=0.0)
+        if augment_labels:
+            label = warp(label.astype(jnp.float32),
+                         jnp.asarray(params["coeffs"], jnp.float32),
+                         mode="nearest",
+                         fill=IGNORE_FILL).astype(label.dtype)
+        return img, label
+    if aug_type == "B-GS-R":
+        img = adjust_brightness(img, params["brightness"],
+                                pil_exact=pil_exact)
+        img = to_grayscale3(img, pil_exact=pil_exact)
+        angle = params["angle"]
+        if pil_exact:
+            img = rotate_nearest_pil_exact(img, angle, fill=0.0)
+            if augment_labels:
+                label = rotate_nearest_pil_exact(
+                    label.astype(jnp.float32), angle,
+                    fill=IGNORE_FILL).astype(label.dtype)
+        else:
+            h, w = img.shape[0], img.shape[1]
+            coeffs = rotation_coeffs(jnp.float32(angle), h, w)
+            img = warp(img, coeffs, mode="nearest", fill=0.0)
+            if augment_labels:
+                label = warp(label.astype(jnp.float32), coeffs,
+                             mode="nearest",
+                             fill=IGNORE_FILL).astype(label.dtype)
+        return img, label
+    raise ValueError(f"unknown aug_type {aug_type!r}")
 
 
 def augment_sample(img: jax.Array, label: jax.Array, key: jax.Array,

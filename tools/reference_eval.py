@@ -36,10 +36,12 @@ _NNI_STUB = None  # (nni module, nni.experiment module) — see _nni_capture
 
 def _install_torchvision_stub():
     """Install a minimal, semantics-exact torchvision.transforms iff the
-    real one is unavailable.  Covers exactly what the reference datasets
-    import (cityscapes.py:8, GTAV.py:9): Compose, ToTensor, Normalize,
-    PILToTensor (+ the aug classes GTAV references at construction time,
-    which eval never constructs, so they may raise if used)."""
+    real one is unavailable.  Covers what the reference datasets import
+    (cityscapes.py:8, GTAV.py:9): Compose, ToTensor, Normalize,
+    PILToTensor, plus the aug classes the GTA5 menus construct — those are
+    torchvision_standin's exact reimplementations (identical torch-RNG
+    consumption + identical PIL math), so --aug_type train paths execute
+    real augmentation."""
     try:
         import torchvision  # noqa: F401
 
@@ -91,26 +93,37 @@ def _install_torchvision_stub():
             return t.permute(2, 0, 1).contiguous()
 
     class _Unavailable:
-        """Constructible, raises on USE: GtaV builds every aug transform
-        unconditionally at __init__ (reference GTAV.py:33-46) even when
-        ``aug_type=None`` leaves them out of the pipeline, so the stub
-        must allow construction and only refuse application."""
+        """Constructible, raises on USE — kept only for transforms nothing
+        in the reference's pipelines ever applies."""
 
         def __init__(self, *a, **k):
             pass
 
         def __call__(self, *a, **k):
             raise NotImplementedError(
-                "torchvision stub: augmentation transforms are not "
-                "implemented (eval never applies them)")
+                "torchvision stub: transform not implemented")
+
+    # the aug classes the GTA5 menus construct (reference GTAV.py:32-59)
+    # come from the semantics-exact stand-in (identical torch-RNG
+    # consumption + identical PIL math, see its docstring) so the TRAIN
+    # paths run with real augmentation, not a raising placeholder
+    _tools_dir = os.path.dirname(os.path.abspath(__file__))
+    if _tools_dir not in sys.path:
+        sys.path.insert(0, _tools_dir)
+    import torchvision_standin as standin
 
     for name, cls in [("Compose", Compose), ("ToTensor", ToTensor),
                       ("Normalize", Normalize),
-                      ("PILToTensor", PILToTensor)]:
+                      ("PILToTensor", PILToTensor),
+                      ("ColorJitter", standin.ColorJitter),
+                      ("RandomApply", standin.RandomApply),
+                      ("RandomHorizontalFlip",
+                       standin.RandomHorizontalFlip),
+                      ("RandomPerspective", standin.RandomPerspective),
+                      ("RandomRotation", standin.RandomRotation),
+                      ("Grayscale", standin.Grayscale)]:
         setattr(tr, name, cls)
-    for name in ("ColorJitter", "RandomApply", "RandomHorizontalFlip",
-                 "RandomPerspective", "RandomRotation", "Grayscale",
-                 "Resize", "RandomCrop"):
+    for name in ("Resize", "RandomCrop"):
         setattr(tr, name, type(name, (_Unavailable,), {}))
     tv.transforms = tr
     sys.modules["torchvision"] = tv
@@ -208,6 +221,101 @@ def run_reference_val_gtav(root: str, pretrain_path: str, crop_height: int,
     return float(precision), float(miou)
 
 
+def _aug_seed_for(base_seed: int, idx: int) -> int:
+    """Per-sample torch seed shared by the in-run RNG pinning and the
+    offline parameter extraction."""
+    return (int(base_seed) * 1000003 + int(idx)) % (2 ** 63)
+
+
+class _PerIndexSeededDataset:
+    """RNG-pinning proxy: seeds torch's GLOBAL generator to a function of
+    the sample index immediately before delegating to the reference
+    dataset's __getitem__, making each sample's augmentation realization
+    idx-deterministic (and epoch-constant) — the trick that restores
+    shuffle-order invariance for cross-framework trajectory comparison
+    (batch_size == dataset size makes batch means permutation-invariant,
+    but only if the aug draw doesn't depend on VISIT order). Only the RNG
+    state is touched; every line of transform code executed is the
+    reference's (GTAV.py:81-90 through the exact torchvision stand-in)."""
+
+    def __init__(self, ds, base_seed: int):
+        self.ds = ds
+        self.base_seed = base_seed
+
+    def __len__(self):
+        return len(self.ds)
+
+    def __getitem__(self, idx):
+        import torch
+
+        torch.manual_seed(_aug_seed_for(self.base_seed, idx))
+        return self.ds[idx]
+
+    def __getattr__(self, name):  # .data etc. for any reflective use
+        return getattr(self.ds, name)
+
+
+def build_standin_aug_pipeline(aug_type: str):
+    """The aug menu EXACTLY as GtaV composes it (GTAV.py:32-51): the named
+    family wrapped in RandomApply(p=0.5), built from the exact stand-in
+    classes (identical ctor args, hence identical torch-RNG
+    consumption)."""
+    import torchvision_standin as standin
+
+    class _Compose:
+        def __init__(self, ts):
+            self.ts = ts
+
+        def __call__(self, x):
+            for t in self.ts:
+                x = t(x)
+            return x
+
+    menus = {
+        "CS-HF": _Compose([standin.ColorJitter(contrast=[2, 5]),
+                           standin.ColorJitter(saturation=[1, 3]),
+                           standin.RandomHorizontalFlip(p=1)]),
+        "H-RP": _Compose([standin.ColorJitter(hue=0.2),
+                          standin.RandomPerspective(p=1,
+                                                    distortion_scale=0.5)]),
+        "B-GS-R": _Compose([standin.ColorJitter(brightness=[1, 2]),
+                            standin.Grayscale(3),
+                            standin.RandomRotation(degrees=90)]),
+    }
+    return standin.RandomApply([menus[aug_type]], p=0.5)
+
+
+def extract_aug_params(aug_type: str, n_samples: int, crop_height: int,
+                       crop_width: int, base_seed: int):
+    """Replay the per-sample torch seeds and return each sample's explicit
+    augmentation parameters (list of dicts for augment_pil_exact.
+    apply_family / data.augment.apply_family_with_params).
+
+    Runs the stand-in pipeline on a dummy image of the POST-RESIZE PIL
+    size — GtaV passes self.resize=(height, width) straight to PIL.resize
+    whose argument order is (w, h), so the augmented image is
+    (W=crop_height, H=crop_width), the famous transposed-resize quirk
+    (GTAV.py:21,85; SURVEY.md section 4 bug 4). Corner randint bounds in
+    RandomPerspective depend on that size, so it must match exactly."""
+    import torch
+    from PIL import Image
+
+    _tools_dir = os.path.dirname(os.path.abspath(__file__))
+    if _tools_dir not in sys.path:
+        sys.path.insert(0, _tools_dir)
+    import torchvision_standin as standin
+
+    dummy = Image.new("RGB", (crop_height, crop_width), (127, 127, 127))
+    pipeline = build_standin_aug_pipeline(aug_type)
+    out = []
+    for idx in range(n_samples):
+        torch.manual_seed(_aug_seed_for(base_seed, idx))
+        with standin.record() as trace:
+            pipeline(dummy)
+        out.append(standin.trace_to_params(trace))
+    return out
+
+
 def run_reference_train_supervised(root: str, pretrain_path: str,
                                    crop_height: int, crop_width: int,
                                    num_epochs: int, batch_size: int,
@@ -289,7 +397,8 @@ def run_reference_train_da(root_source: str, root_target: str,
                            learning_rate_d: float = 1e-3,
                            lambda_adv: float = 1e-3,
                            depthwise: bool = True, batch_norm: bool = True,
-                           d_seed: int = 0, num_classes: int = 19):
+                           d_seed: int = 0, num_classes: int = 19,
+                           aug_type=None, aug_seed: int = 1234):
     """Execute the reference's ACTUAL adversarial-DA trainer
     (train.py:134-299 train_DA: internal D construction, internal
     GtaV/CityScapes loaders, SGD-G + Adam-D, the 4-phase step) on CPU
@@ -308,6 +417,13 @@ def run_reference_train_da(root_source: str, root_target: str,
 
     Comparability: pass batch_size == len(source) == len(target) so each
     epoch is ONE zip'd step and torch's shuffle order is irrelevant.
+
+    aug_type: run the reference with real augmentation (--aug_type) — the
+    GtaV source's torchvision pipeline executes through the exact
+    stand-in, and the dataset is wrapped in _PerIndexSeededDataset(
+    aug_seed) so every sample's realization is idx-deterministic; callers
+    recover the identical parameters via extract_aug_params(aug_type, n,
+    crop_height, crop_width, aug_seed) and replay them on the JAX side.
     """
     import contextlib
     import io
@@ -334,13 +450,16 @@ def run_reference_train_da(root_source: str, root_target: str,
     # chdir to the (read-only) reference so nothing else runs there
     orig_gtav = ref_train.GtaV
 
-    def _gtav_in_refdir(root, aug_type, height, width):
+    def _gtav_in_refdir(root, ds_aug_type, height, width):
         cwd = os.getcwd()
         os.chdir(REFERENCE_ROOT)
         try:
-            return orig_gtav(root, aug_type, height, width)
+            ds = orig_gtav(root, ds_aug_type, height, width)
         finally:
             os.chdir(cwd)
+        if ds_aug_type is not None:
+            ds = _PerIndexSeededDataset(ds, aug_seed)
+        return ds
 
     # capture the exact D init train_DA will draw (same seed, same class,
     # same construction order)
@@ -366,7 +485,7 @@ def run_reference_train_da(root_source: str, root_target: str,
         num_workers=0, num_classes=num_classes, optimizer="sgd",
         crop_height=crop_height, crop_width=crop_width,
         momentum=0.9, weight_decay=5e-4,  # reference flag defaults
-        lambda_adv_target1=lambda_adv, aug_type=None,
+        lambda_adv_target1=lambda_adv, aug_type=aug_type,
         depthwise=depthwise, batch_norm=batch_norm,
         root_source=root_source, root_target=root_target,
         # checkpoint_step must NOT divide any epoch: train_DA's epoch-
