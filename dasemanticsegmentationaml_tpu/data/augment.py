@@ -84,8 +84,18 @@ def adjust_contrast(img: jax.Array, factor: jax.Array,
         # ImageStat's int(mean(L)+0.5) in exact integer math:
         # floor(s/n + 0.5) == (2s+n)//(2n)
         l_int = pil_luma(img).astype(jnp.int32)
-        s = jnp.sum(l_int)
         n = l_int.size
+        # 2*s+n is computed in int32 on device (TPU jit has no int64 by
+        # default): exact only while 2*255*n + n < 2^31. Shapes are static
+        # at trace time, so oversize images fail LOUDLY here instead of
+        # silently wrapping; use augment_pil_exact.adjust_contrast (int64
+        # host path) for such images.
+        if 511 * n >= 2**31:
+            raise ValueError(
+                f"adjust_contrast(pil_exact=True): {n} pixels would "
+                f"overflow the int32 luma sum (limit ~4.2M); use the host "
+                f"augment_pil_exact path for images this large")
+        s = jnp.sum(l_int)
         mean = (2 * s + n) // (2 * n)
         return _pil_blend(mean.astype(jnp.float32), img, factor)
     # float formulation: blend against the float mean of the L channel
@@ -281,7 +291,8 @@ def warp(img: jax.Array, coeffs: jax.Array, mode: str = "bilinear",
         img = img[..., None]
     h, w, _ = img.shape
     sx, sy = _source_coords(h, w, coeffs)
-    oob = (sx < -0.5) | (sx > w - 0.5) | (sy < -0.5) | (sy > h - 0.5)
+    # half-open upper bound: sx == w-0.5 exactly is OOB in Pillow
+    oob = (sx < -0.5) | (sx >= w - 0.5) | (sy < -0.5) | (sy >= h - 0.5)
 
     if mode == "nearest":
         ix = jnp.clip(jnp.round(sx).astype(jnp.int32), 0, w - 1)
@@ -330,7 +341,8 @@ def warp_bilinear_pil_exact(img: jax.Array, coeffs) -> jax.Array:
     den = g * xx + hh * yy + 1.0
     sx = (a * xx + b * yy + c) / den - 0.5
     sy = (d * xx + e * yy + f) / den - 0.5
-    oob = (sx < -0.5) | (sx > w - 0.5) | (sy < -0.5) | (sy > h - 0.5)
+    # half-open upper bound: sx == w-0.5 exactly is OOB in Pillow
+    oob = (sx < -0.5) | (sx >= w - 0.5) | (sy < -0.5) | (sy >= h - 0.5)
     x0 = np.floor(sx)
     y0 = np.floor(sy)
     # low-edge clamp: x0 == -1 -> both taps are pixel 0 (see warp())

@@ -191,7 +191,10 @@ def perspective_bilinear(img: np.ndarray, coeffs, fill: int = 0
     den = g * xx + hh * yy + 1.0
     sx = (a * xx + b * yy + c) / den - 0.5
     sy = (d * xx + e * yy + f) / den - 0.5
-    oob = (sx < -0.5) | (sx > w - 0.5) | (sy < -0.5) | (sy > h - 0.5)
+    # half-open bound: a source coord EXACTLY equal to size-0.5 is OOB in
+    # Pillow (ImagingGenericTransform's `xx >= xsize` after the +0.5 shift);
+    # -0.5 itself is in bounds. Verified against the installed Pillow.
+    oob = (sx < -0.5) | (sx >= w - 0.5) | (sy < -0.5) | (sy >= h - 0.5)
     x0 = np.floor(sx)
     y0 = np.floor(sy)
     wx = sx - x0

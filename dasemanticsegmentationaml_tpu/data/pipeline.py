@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import collections
 import concurrent.futures as futures
+import queue as queue_mod
+import threading
 from functools import partial
 from typing import Iterator, Optional, Tuple
 
@@ -34,10 +36,61 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 class PipelineStallError(RuntimeError):
     """A named, diagnosable input-pipeline stall (SURVEY.md section 5.2).
 
-    Raised instead of hanging when a decode worker or an H2D transfer
-    exceeds its watchdog timeout; the message names the STAGE ('decode
-    worker' / 'H2D transfer'), the batch, and the dataset index so a
-    wedged NFS mount or bad file is immediately attributable."""
+    Raised instead of hanging when a decode worker or the prefetch's
+    fetch+transfer exceeds its watchdog timeout; the message names the
+    STAGE ('decode worker' / 'input fetch'), the batch, and the dataset
+    index so a wedged NFS mount, bad file, or wedged device claim is
+    immediately attributable."""
+
+
+class _DaemonPool:
+    """Minimal Future-based pool of DAEMON threads.
+
+    concurrent.futures.ThreadPoolExecutor creates non-daemon workers and
+    registers an atexit hook that JOINS them — so after a watchdog raises
+    PipelineStallError past a truly wedged worker (dead NFS read, wedged
+    device runtime), the interpreter would still hang at exit waiting on
+    that thread, turning the loud failure back into a silent hang.
+    Daemon threads make both pool teardown and process exit non-blocking;
+    the Future interface (result(timeout=...)) is preserved."""
+
+    def __init__(self, num_workers: int, name: str = "worker"):
+        self._q: queue_mod.SimpleQueue = queue_mod.SimpleQueue()
+        self._stop = False
+        self._threads = [
+            threading.Thread(target=self._run, name=f"{name}-{i}",
+                             daemon=True)
+            for i in range(num_workers)]
+        for t in self._threads:
+            t.start()
+
+    def _run(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            fut, fn, args = item
+            if self._stop:
+                fut.cancel()
+                continue
+            if not fut.set_running_or_notify_cancel():
+                continue
+            try:
+                fut.set_result(fn(*args))
+            except BaseException as e:  # noqa: BLE001 — relayed via Future
+                fut.set_exception(e)
+
+    def submit(self, fn, *args) -> futures.Future:
+        fut: futures.Future = futures.Future()
+        self._q.put((fut, fn, args))
+        return fut
+
+    def shutdown(self) -> None:
+        """Non-blocking: pending work is cancelled, wedged threads are
+        abandoned (daemon — they cannot block interpreter exit)."""
+        self._stop = True
+        for _ in self._threads:
+            self._q.put(None)
 
 
 @partial(jax.jit, static_argnames=("aug_type", "augment_labels", "remap",
@@ -123,11 +176,11 @@ class Loader:
         n_batches = len(self)
         bs = self.batch_size
 
-        # No `with` block: ThreadPoolExecutor.__exit__ JOINS workers, so a
-        # wedged decode thread would turn the watchdog's loud failure back
-        # into a silent hang at pool teardown. shutdown(wait=False,
-        # cancel_futures=True) lets the stall propagate immediately.
-        pool = futures.ThreadPoolExecutor(self.num_workers)
+        # Daemon pool: a wedged decode thread can neither block teardown
+        # nor interpreter exit (ThreadPoolExecutor's non-daemon workers
+        # are atexit-joined — the loud watchdog failure would turn back
+        # into a hang when the process tries to die).
+        pool = _DaemonPool(self.num_workers, name="decode")
         try:
             # Pipeline: keep up to 2 batches of sample futures in flight.
             pending = collections.deque()
@@ -166,7 +219,7 @@ class Loader:
                 labels = np.stack([s[1] for s in samples])
                 yield images, labels
         finally:
-            pool.shutdown(wait=False, cancel_futures=True)
+            pool.shutdown()
 
 
 def device_prefetch(iterator, depth: int = 2, sharding=None,
@@ -175,59 +228,79 @@ def device_prefetch(iterator, depth: int = 2, sharding=None,
 
     sharding: optional jax.sharding.Sharding for the batch (data-parallel
     meshes); default is the single default device.
-    transfer_timeout: watchdog (seconds) on each device_put DISPATCH — a
-    wedged device runtime blocks dispatch (observed on this stack: a
-    VMEM-OOM'd chip claim hangs every subsequent call), and this surfaces
-    it as a named PipelineStallError instead of a silent hang. None
-    disables. Completion is asynchronous as always; the watchdog guards
-    the blocking part.
+    transfer_timeout: watchdog (seconds) on each FETCH — the upstream
+    ``next(iterator)`` (which, on the production trainer paths, includes
+    the prepare_batch jit dispatch that a wedged device claim blocks —
+    the observed VMEM-OOM failure mode) plus the device_put dispatch for
+    host batches. The whole fetch runs in a daemon worker thread and a
+    timeout surfaces as a named PipelineStallError instead of a silent
+    hang; the wedged thread cannot block interpreter exit. None disables
+    the watchdog (direct in-thread fetches). Transfer completion stays
+    asynchronous as always; the watchdog guards the blocking part.
     """
     queue = collections.deque()
-    xfer = (futures.ThreadPoolExecutor(1, thread_name_prefix="h2d")
-            if transfer_timeout is not None else None)
-
-    batch_counter = [0]
-
-    def put(host_batch):
-        b = batch_counter[0]
-        batch_counter[0] += 1
-
-        def one(x):
-            if sharding is None and isinstance(x, jax.Array):
-                # already on device (the trainers prefetch PREPARED
-                # batches — prepare() dispatched the H2D copy). A bare
-                # device_put would be a no-op single-process but raises
-                # on multi-process global arrays (not fully addressable).
-                return x
-            if xfer is None:
-                return jax.device_put(x, sharding)
-            fut = xfer.submit(jax.device_put, x, sharding)
-            try:
-                return fut.result(timeout=transfer_timeout)
-            except futures.TimeoutError:
-                raise PipelineStallError(
-                    f"H2D transfer stalled: batch {b} device_put dispatch "
-                    f"not done after {transfer_timeout:g}s "
-                    f"(sharding={sharding})") from None
-
-        return tuple(one(x) for x in host_batch)
-
     it = iter(iterator)
-    try:
+    sentinel = object()
+
+    def transfer(host_batch):
+        # already-on-device jax.Arrays pass through (the trainers prefetch
+        # PREPARED batches — prepare() dispatched the H2D copy; a bare
+        # device_put would be a no-op single-process but raises on
+        # multi-process global arrays, which are not fully addressable)
+        return tuple(
+            x if sharding is None and isinstance(x, jax.Array)
+            else jax.device_put(x, sharding)
+            for x in host_batch)
+
+    if transfer_timeout is None:
         try:
             for _ in range(depth):
-                queue.append(put(next(it)))
+                queue.append(transfer(next(it)))
         except StopIteration:
             pass
         while queue:
             nxt = queue.popleft()
             try:
-                queue.append(put(next(it)))
+                queue.append(transfer(next(it)))
             except StopIteration:
                 pass
             yield nxt
+        return
+
+    pool = _DaemonPool(1, name="prefetch")
+    batch_counter = [0]
+
+    def fetch():
+        try:
+            return transfer(next(it))
+        except StopIteration:
+            return sentinel
+
+    def fetch_checked():
+        b = batch_counter[0]
+        batch_counter[0] += 1
+        fut = pool.submit(fetch)
+        try:
+            return fut.result(timeout=transfer_timeout)
+        except futures.TimeoutError:
+            raise PipelineStallError(
+                f"input fetch stalled: batch {b} not produced after "
+                f"{transfer_timeout:g}s — covers the host iterator, the "
+                f"prepare-batch jit/H2D dispatch (a wedged device claim "
+                f"blocks here), and device_put (sharding={sharding})"
+            ) from None
+
+    try:
+        for _ in range(depth):
+            r = fetch_checked()
+            if r is sentinel:
+                break
+            queue.append(r)
+        while queue:
+            nxt = queue.popleft()
+            r = fetch_checked()
+            if r is not sentinel:
+                queue.append(r)
+            yield nxt
     finally:
-        if xfer is not None:
-            # wait=False: a wedged device_put thread must not convert the
-            # watchdog's named failure back into a hang at teardown
-            xfer.shutdown(wait=False, cancel_futures=True)
+        pool.shutdown()

@@ -105,7 +105,10 @@ def run_experiment(static_args: Optional[List[str]] = None,
     from concurrent.futures import (FIRST_COMPLETED, ThreadPoolExecutor,
                                     wait)
 
-    tuner = AnnealTuner(seed=seed)
+    # budget caps the random-init phase: at the reference's default 10
+    # trials a fixed init_random=10 would consume the whole sweep and
+    # never anneal
+    tuner = AnnealTuner(seed=seed, budget=max_trials)
     deadline = time.time() + max_hours * 3600
     trials = []
     os.makedirs(os.path.dirname(os.path.abspath(results_path)),

@@ -69,10 +69,18 @@ class AnnealTuner:
     single-start hill climb with fast decay LOSES to random-40 in 6D."""
 
     def __init__(self, seed: int = 0, t0: float = 1.0, decay: float = 0.92,
-                 init_random: int = 10, explore_prob: float = 0.1):
+                 init_random: int = 10, explore_prob: float = 0.1,
+                 budget: Optional[int] = None):
+        """budget: total planned trial count, when known. The random-init
+        phase is capped to budget//3 so a small sweep (e.g. the
+        reference's default 10 trials, experiment_nni.py:139) still gets
+        an annealing/exploitation phase — with init_random == budget the
+        tuner silently degrades to pure random search."""
         self.rng = random.Random(seed)
         self.t = t0
         self.decay = decay
+        if budget is not None:
+            init_random = min(init_random, max(2, budget // 3))
         self.init_random = init_random
         self.explore_prob = explore_prob
         self.history: List[Tuple[Dict, float]] = []

@@ -122,6 +122,30 @@ def test_pil_exact_perspective_matches_pil(rng8):
             np.array(out), px.perspective_bilinear(arr, coeffs))
 
 
+def test_pil_exact_perspective_boundary_is_half_open(rng8):
+    """Source coords landing EXACTLY on size-0.5 are OOB (fill) in Pillow
+    — the bound is [-0.5, size-0.5), half-open. A pure-translation
+    homography pins every output pixel's source on the boundary at once;
+    both the numpy layer and the device warp must fill there (regression:
+    `>` vs `>=` silently blended edge pixels instead)."""
+    from PIL import Image
+
+    arr = _rand_img(rng8, 8, 8)
+    img = Image.fromarray(arr)
+    for coeffs in ([1, 0, 7.5, 0, 1, 0, 0, 0],     # sx hits w-0.5 at x=0
+                   [1, 0, 0, 0, 1, 7.5, 0, 0],     # sy hits h-0.5 at y=0
+                   [1, 0, -0.5, 0, 1, 0, 0, 0]):   # sx hits -0.5: IN bounds
+        ref = np.array(img.transform((8, 8), Image.PERSPECTIVE,
+                                     [float(c) for c in coeffs],
+                                     Image.BILINEAR, fillcolor=0))
+        np.testing.assert_array_equal(
+            ref, px.perspective_bilinear(arr, coeffs), err_msg=str(coeffs))
+        dev = np.asarray(A.warp_bilinear_pil_exact(
+            jnp.asarray(arr, jnp.float32), coeffs))
+        np.testing.assert_array_equal(ref.astype(np.float32), dev,
+                                      err_msg=f"device {coeffs}")
+
+
 def test_pil_exact_rotation_matches_pil(rng8):
     """Image.rotate NEAREST expand=False: Pillow's 16.16 fixed-point
     integer path — a double-precision reimplementation is off by one at
@@ -341,7 +365,11 @@ def test_augmented_da_train_losses_match_reference(aug_type, tmp_path,
         learning_rate=lr_g, learning_rate_d=lr_d)
 
     params = extract_aug_params(aug_type, 4, CROP_H, CROP_W, aug_seed)
-    assert any(p["applied"] for p in params) or epochs  # realization known
+    # the seed-77 realization applies the menu on sample 2 and skips the
+    # rest (all three menus): real augmentation IS exercised — if a seed
+    # change ever makes RandomApply skip every sample, the oracle would be
+    # comparing two unaugmented runs, so fail loudly instead
+    assert any(p["applied"] for p in params)
     pre = str(tmp_path / "gta_preaug")
     _pre_augment_source_tree(src, pre, aug_type, params, CROP_H, CROP_W)
 

@@ -218,11 +218,51 @@ def test_loader_watchdog_names_hung_decode_worker():
         assert "HangingDataset" in msg
         assert elapsed < 10.0, f"watchdog not timely: {elapsed:.1f}s"
     finally:
-        release.set()  # let the stuck thread exit so pytest can terminate
+        release.set()  # tidy: release the worker (exit no longer needs it)
+
+
+def test_loader_stall_cannot_block_interpreter_exit():
+    """The other half of 'loud failure, not silent hang': after the
+    watchdog raises past a TRULY wedged worker (one that never returns),
+    the process must still be able to DIE. ThreadPoolExecutor's
+    non-daemon workers are atexit-joined, which would hang exit forever;
+    the daemon pool must not. Run in a subprocess and require prompt
+    termination."""
+    import subprocess
+    import sys
+    import time
+
+    code = r"""
+import threading, sys
+from dasemanticsegmentationaml_tpu.data import Loader, PipelineStallError
+
+class Forever:
+    def __len__(self): return 4
+    def __getitem__(self, idx):
+        if idx == 1:
+            threading.Event().wait()  # wedged FOREVER (no release)
+        return idx, idx
+
+try:
+    list(Loader(Forever(), batch_size=2, shuffle=False, num_workers=2,
+                worker_timeout=0.3))
+except PipelineStallError:
+    print("STALL-RAISED")
+    sys.exit(0)  # must actually exit despite the wedged thread
+"""
+    t0 = time.monotonic()
+    proc = subprocess.run([sys.executable, "-c", code], timeout=60,
+                          capture_output=True, text=True,
+                          cwd=os.path.dirname(os.path.dirname(
+                              os.path.abspath(__file__))))
+    elapsed = time.monotonic() - t0
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "STALL-RAISED" in proc.stdout
+    assert elapsed < 45.0, f"interpreter exit blocked: {elapsed:.1f}s"
 
 
 def test_device_prefetch_watchdog_names_h2d_stall(monkeypatch):
-    """A stalled device_put dispatch surfaces as a named H2D
+    """A stalled device_put dispatch surfaces as a named fetch
     PipelineStallError (not a hang)."""
     import threading
     import time
@@ -243,7 +283,7 @@ def test_device_prefetch_watchdog_names_h2d_stall(monkeypatch):
         with pytest.raises(PipelineStallError) as exc:
             list(pl.device_prefetch(iter(batches), depth=2,
                                     transfer_timeout=0.5))
-        assert "H2D transfer stalled" in str(exc.value)
+        assert "input fetch stalled" in str(exc.value)
         assert "batch 0" in str(exc.value)
         assert time.monotonic() - t0 < 10.0
     finally:
@@ -252,6 +292,42 @@ def test_device_prefetch_watchdog_names_h2d_stall(monkeypatch):
     out = list(pl.device_prefetch(iter(batches), depth=2,
                                   transfer_timeout=None))
     assert len(out) == 3
+
+
+def test_device_prefetch_watchdog_covers_prepared_batch_dispatch():
+    """The PRODUCTION wedge mode: the trainers prefetch already-prepared
+    on-device batches, so the blocking work is the upstream iterator's
+    prepare_batch jit/H2D dispatch (a wedged device claim hangs there,
+    not in device_put — which is skipped for jax.Arrays). The watchdog
+    wraps the whole fetch, so a stalled ITERATOR must also raise a
+    timely, named failure."""
+    import threading
+    import time
+
+    import jax.numpy as jnp
+
+    from dasemanticsegmentationaml_tpu.data import PipelineStallError
+    from dasemanticsegmentationaml_tpu.data import pipeline as pl
+
+    release = threading.Event()
+
+    def prepared_batches():
+        # first batch: a real on-device jax.Array pair (passes through)
+        yield (jnp.zeros((2, 2)), jnp.zeros((2,)))
+        # second batch: the "prepare dispatch" wedges
+        release.wait(timeout=30.0)
+        yield (jnp.zeros((2, 2)), jnp.zeros((2,)))
+
+    t0 = time.monotonic()
+    try:
+        with pytest.raises(PipelineStallError) as exc:
+            list(pl.device_prefetch(prepared_batches(), depth=2,
+                                    transfer_timeout=0.5))
+        assert "input fetch stalled" in str(exc.value)
+        assert "batch 1" in str(exc.value)
+        assert time.monotonic() - t0 < 10.0, "watchdog not timely"
+    finally:
+        release.set()
 
 
 # ------------------------------------------------------------- batch prep

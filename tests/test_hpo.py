@@ -84,6 +84,23 @@ def test_anneal_tuner_beats_random_search():
     assert np.mean(anneal_bests) > np.mean(random_bests)
 
 
+def test_anneal_tuner_budget_caps_random_init():
+    """A sweep at the reference's default budget (10 trials,
+    experiment_nni.py:139) must still get an exploitation phase: with the
+    fixed init_random=10 default, all 10 draws were random samples and
+    the temperature never decayed — pure random search wearing an Anneal
+    label. budget= caps the init phase to budget//3."""
+    tuner = AnnealTuner(seed=0, budget=10)
+    assert tuner.init_random == 3
+    assert AnnealTuner(seed=0, budget=40).init_random == 10  # uncapped
+    assert AnnealTuner(seed=0, budget=4).init_random == 2    # floor
+    for _ in range(10):
+        p = tuner.generate_parameters()
+        tuner.receive_trial_result(p, -sum(
+            v if isinstance(v, float) else 0.0 for v in p.values()))
+    assert tuner.t < 1.0, "annealing phase never executed at budget 10"
+
+
 def test_trial_main_runs_da(tmp_path):
     """One in-process trial on tiny synthetic trees (the subprocess
     boundary is exercised by the experiment CLI, too slow for unit CI)."""
