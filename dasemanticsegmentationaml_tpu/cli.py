@@ -258,14 +258,16 @@ def main(argv=None, report_fn=None):
     loader_train = None if train_ds is None else Loader(
         train_ds, args.batch_size, shuffle=True, seed=args.seed,
         num_workers=args.num_workers, process_id=proc_id,
-        process_count=proc_n)
+        process_count=proc_n, worker_timeout=args.worker_timeout)
     loader_val = Loader(val_ds, args.eval_batch_size, shuffle=False,
-                        drop_last=False, num_workers=args.num_workers)
+                        drop_last=False, num_workers=args.num_workers,
+                        worker_timeout=args.worker_timeout)
     eval_sharded = proc_n > 1 and args.eval_process_shard
     loader_val_eval = Loader(
         Subset(val_ds, list(range(proc_id, len(val_ds), proc_n))),
         args.eval_batch_size, shuffle=False, drop_last=False,
-        num_workers=args.num_workers) if eval_sharded else loader_val
+        num_workers=args.num_workers,
+        worker_timeout=args.worker_timeout) if eval_sharded else loader_val
 
     # ---- model ------------------------------------------------------------
     model = build_model(args)
@@ -321,7 +323,8 @@ def main(argv=None, report_fn=None):
             use_fused_kernel=(args.use_fused_eval
                               and jax.default_backend() == "tpu"),
             scan_window=args.eval_scan_window,
-            cross_process_sum=eval_sharded)
+            cross_process_sum=eval_sharded,
+            fetch_timeout=args.fetch_timeout)
         if proc_n > 1:
             # the best-mIoU checkpoint decision must not diverge: sharded
             # eval sums exact integer counts (identical by construction),
@@ -446,7 +449,8 @@ def main(argv=None, report_fn=None):
             use_fused_kernel=(args.use_fused_eval
                               and jax.default_backend() == "tpu"),
             scan_window=args.eval_scan_window,
-            cross_process_sum=eval_sharded)
+            cross_process_sum=eval_sharded,
+            fetch_timeout=args.fetch_timeout)
         return {"precision": precision, "miou": miou}
 
     if args.domain_adaptation:
@@ -469,11 +473,13 @@ def main(argv=None, report_fn=None):
                        faithful_resize=args.faithful_resize))
         loader_source = Loader(source_ds, args.batch_size, shuffle=True,
                                seed=args.seed, num_workers=args.num_workers,
-                               process_id=proc_id, process_count=proc_n)
+                               process_id=proc_id, process_count=proc_n,
+                               worker_timeout=args.worker_timeout)
         loader_target = Loader(target_ds, args.batch_size, shuffle=True,
                                seed=args.seed + 1,
                                num_workers=args.num_workers,
-                               process_id=proc_id, process_count=proc_n)
+                               process_id=proc_id, process_count=proc_n,
+                               worker_timeout=args.worker_timeout)
 
         d_model = build_discriminator(n_classes, args.depthwise,
                                       args.batch_norm, dtype=dtype)

@@ -330,19 +330,13 @@ def warp_bilinear_pil_exact(img: jax.Array, coeffs) -> jax.Array:
     float32 blend-truncation ties only (golden-test bounded)."""
     import numpy as np
 
+    from .augment_pil_exact import perspective_source_grid
+
     squeeze = img.ndim == 2
     if squeeze:
         img = img[..., None]
     h, w, _ = img.shape
-    a, b, c, d, e, f, g, hh = [float(v) for v in coeffs]
-    ys = np.arange(h, dtype=np.float64) + 0.5
-    xs = np.arange(w, dtype=np.float64) + 0.5
-    yy, xx = np.meshgrid(ys, xs, indexing="ij")
-    den = g * xx + hh * yy + 1.0
-    sx = (a * xx + b * yy + c) / den - 0.5
-    sy = (d * xx + e * yy + f) / den - 0.5
-    # half-open upper bound: sx == w-0.5 exactly is OOB in Pillow
-    oob = (sx < -0.5) | (sx >= w - 0.5) | (sy < -0.5) | (sy >= h - 0.5)
+    sx, sy, oob = perspective_source_grid(h, w, coeffs)
     x0 = np.floor(sx)
     y0 = np.floor(sy)
     # low-edge clamp: x0 == -1 -> both taps are pixel 0 (see warp())
@@ -358,6 +352,28 @@ def warp_bilinear_pil_exact(img: jax.Array, coeffs) -> jax.Array:
     if squeeze:
         out = out[..., 0]
     return out
+
+
+def warp_nearest_pil_exact(label: jax.Array, coeffs,
+                           fill: float = 0.0) -> jax.Array:
+    """NEAREST warp of an HW label map on the SAME float64 host grid as
+    warp_bilinear_pil_exact — when the pil-exact image path is used with
+    label correction, the label must sample from the identical source
+    grid (the float32 device grid flips floor() vs float64 on ~1% of
+    pixels, shifting labels one pixel off the image they annotate).
+    Nearest index = floor(s + 0.5) (round half up), PIL's nearest
+    convention; OOB uses the shared half-open mask."""
+    import numpy as np
+
+    from .augment_pil_exact import perspective_source_grid
+
+    h, w = label.shape
+    sx, sy, oob = perspective_source_grid(h, w, coeffs)
+    xi = np.clip(np.floor(sx + 0.5).astype(np.int32), 0, w - 1)
+    yi = np.clip(np.floor(sy + 0.5).astype(np.int32), 0, h - 1)
+    out = jnp.take(label.reshape(h * w), jnp.asarray(yi * w + xi).reshape(-1),
+                   axis=0).reshape(h, w)
+    return jnp.where(jnp.asarray(oob), jnp.asarray(fill, out.dtype), out)
 
 
 def rotation_coeffs(angle_deg: jax.Array, h: int, w: int) -> jax.Array:
@@ -394,6 +410,20 @@ def rotate_nearest_pil_exact(img: jax.Array, angle: float,
     h, w, ch = img.shape
     xin0, yin0, dxx, dyy, dxr, dyr = rotate_fixed_point_starts(
         float(angle), w, h)
+    # The 16.16 accumulators run in int32 on device (TPU jit has no int64
+    # by default; the host twin uses int64). The accumulation is linear in
+    # (x, y), so its extremes sit at the four corners — shapes and angle
+    # are static, check them here and fail LOUDLY instead of silently
+    # wrapping (reachable only above ~32k-pixel dimensions).
+    for base, dc, dr in ((xin0, dxx, dxr), (yin0, dyy, dyr)):
+        for x in (0, w - 1):
+            for y in (0, h - 1):
+                if not -2**31 <= base + y * dr + x * dc < 2**31:
+                    raise ValueError(
+                        f"rotate_nearest_pil_exact: {w}x{h} at angle "
+                        f"{angle} overflows the int32 16.16 fixed-point "
+                        f"accumulator; use augment_pil_exact."
+                        f"rotate_nearest (int64 host path)")
     xs = jnp.arange(w, dtype=jnp.int32)
     ys = jnp.arange(h, dtype=jnp.int32)
     xin = (xin0 + ys[:, None] * dxr + xs[None, :] * dxx) >> 16
@@ -502,15 +532,22 @@ def apply_family_with_params(img: jax.Array, label: jax.Array,
             from .augment_pil_exact import hue_shift_u8
             img = adjust_hue_pil(img, hue_shift_u8(params["hue"]))
             img = warp_bilinear_pil_exact(img, params["coeffs"])
+            if augment_labels:
+                # SAME float64 host grid as the image — a float32 device
+                # grid would shift labels one pixel off the image where
+                # f32 vs f64 floor() flips (~1% of pixels)
+                label = warp_nearest_pil_exact(
+                    label.astype(jnp.float32), params["coeffs"],
+                    fill=IGNORE_FILL).astype(label.dtype)
         else:
             img = adjust_hue(img, jnp.float32(params["hue"]))
             img = warp(img, jnp.asarray(params["coeffs"], jnp.float32),
                        mode="bilinear", fill=0.0)
-        if augment_labels:
-            label = warp(label.astype(jnp.float32),
-                         jnp.asarray(params["coeffs"], jnp.float32),
-                         mode="nearest",
-                         fill=IGNORE_FILL).astype(label.dtype)
+            if augment_labels:
+                label = warp(label.astype(jnp.float32),
+                             jnp.asarray(params["coeffs"], jnp.float32),
+                             mode="nearest",
+                             fill=IGNORE_FILL).astype(label.dtype)
         return img, label
     if aug_type == "B-GS-R":
         img = adjust_brightness(img, params["brightness"],

@@ -177,13 +177,17 @@ def hflip(img: np.ndarray) -> np.ndarray:
 
 
 # ----------------------------------------------------------------- geometry
-def perspective_bilinear(img: np.ndarray, coeffs, fill: int = 0
-                         ) -> np.ndarray:
-    """Image.transform(size, PERSPECTIVE, coeffs, BILINEAR, fillcolor):
-    per-output-pixel double homography at +0.5 centers, -0.5 shift,
-    edge-clamped double bilinear, truncated uint8 store; fill outside
-    [-0.5, size-0.5) (ImagingGenericTransform + bilinear filter)."""
-    h, w = img.shape[:2]
+def perspective_source_grid(h: int, w: int, coeffs):
+    """(sx, sy, oob): Pillow ImagingGenericTransform's float64 source
+    coordinates (+0.5 output centers, -0.5 shift) and its HALF-OPEN
+    out-of-bounds mask — a source coord EXACTLY equal to size-0.5 is OOB
+    (`xx >= xsize` after the +0.5 shift) while -0.5 itself is in bounds;
+    verified against the installed Pillow.
+
+    This is THE load-bearing boundary semantics, shared by every host-side
+    consumer (perspective_bilinear here, augment.warp_bilinear_pil_exact
+    and the pil-exact label warp on device) so an edge-tie correction
+    lands exactly once."""
     a, b, c, d, e, f, g, hh = [float(v) for v in coeffs]
     ys = np.arange(h, dtype=np.float64) + 0.5
     xs = np.arange(w, dtype=np.float64) + 0.5
@@ -191,10 +195,18 @@ def perspective_bilinear(img: np.ndarray, coeffs, fill: int = 0
     den = g * xx + hh * yy + 1.0
     sx = (a * xx + b * yy + c) / den - 0.5
     sy = (d * xx + e * yy + f) / den - 0.5
-    # half-open bound: a source coord EXACTLY equal to size-0.5 is OOB in
-    # Pillow (ImagingGenericTransform's `xx >= xsize` after the +0.5 shift);
-    # -0.5 itself is in bounds. Verified against the installed Pillow.
     oob = (sx < -0.5) | (sx >= w - 0.5) | (sy < -0.5) | (sy >= h - 0.5)
+    return sx, sy, oob
+
+
+def perspective_bilinear(img: np.ndarray, coeffs, fill: int = 0
+                         ) -> np.ndarray:
+    """Image.transform(size, PERSPECTIVE, coeffs, BILINEAR, fillcolor):
+    per-output-pixel double homography at +0.5 centers, -0.5 shift,
+    edge-clamped double bilinear, truncated uint8 store; fill outside
+    [-0.5, size-0.5) (ImagingGenericTransform + bilinear filter)."""
+    h, w = img.shape[:2]
+    sx, sy, oob = perspective_source_grid(h, w, coeffs)
     x0 = np.floor(sx)
     y0 = np.floor(sy)
     wx = sx - x0

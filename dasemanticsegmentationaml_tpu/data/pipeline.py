@@ -152,7 +152,9 @@ class Loader:
         self.num_workers = max(1, num_workers)
         self.process_id = process_id
         self.process_count = max(process_count, 1)
-        self.worker_timeout = worker_timeout
+        # <=0 / None disables the decode watchdog (CLI --worker_timeout)
+        self.worker_timeout = (worker_timeout if worker_timeout and
+                               worker_timeout > 0 else None)
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -238,6 +240,8 @@ def device_prefetch(iterator, depth: int = 2, sharding=None,
     the watchdog (direct in-thread fetches). Transfer completion stays
     asynchronous as always; the watchdog guards the blocking part.
     """
+    if transfer_timeout is not None and transfer_timeout <= 0:
+        transfer_timeout = None  # CLI --fetch_timeout <= 0 disables
     queue = collections.deque()
     it = iter(iterator)
     sentinel = object()

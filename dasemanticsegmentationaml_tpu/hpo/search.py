@@ -84,9 +84,18 @@ class AnnealTuner:
         self.init_random = init_random
         self.explore_prob = explore_prob
         self.history: List[Tuple[Dict, float]] = []
+        self.issued = 0
 
     def generate_parameters(self) -> Dict:
-        if (len(self.history) < self.init_random
+        # the init phase is counted in ISSUED params, not received
+        # results: with trial concurrency, run_experiment draws up to
+        # `concurrency` params before any result lands — gating on
+        # len(history) would hand out that many extra random samples and
+        # re-create the init-consumes-the-sweep degradation at small
+        # budgets. history can lag issued, never exceed it.
+        self.issued += 1
+        if (self.issued <= self.init_random
+                or not self.history
                 or self.rng.random() < self.explore_prob):
             return sample_space(self.rng)
         best_params, _ = max(self.history, key=lambda kv: kv[1])

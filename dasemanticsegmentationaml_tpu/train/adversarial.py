@@ -380,7 +380,9 @@ def train_da(args, g_model, d_model, g_state, d_state, g_optimizer,
         from ..data.pipeline import device_prefetch
 
         for it, (src_images, src_labels, tgt_images) in enumerate(
-                device_prefetch(prepared_batches(), depth=2)):
+                device_prefetch(prepared_batches(), depth=2,
+                                transfer_timeout=getattr(
+                                    args, "fetch_timeout", 900.0))):
             g_state, d_state, metrics = da_step(
                 g_state, d_state, src_images, src_labels, tgt_images,
                 lr_g, lr_d)

@@ -125,7 +125,8 @@ def evaluate(model, variables, loader, num_classes: int, *, prepare,
              print_results: bool = True,
              flush_every: int = 32,
              scan_window: int = 0,
-             cross_process_sum: bool = False) -> Tuple[float, float]:
+             cross_process_sum: bool = False,
+             fetch_timeout: float = 900.0) -> Tuple[float, float]:
     """Full-dataset eval; returns (precision, miou) like reference val().
 
     flush_every is a CAP on the device-accumulation window; the actual
@@ -181,7 +182,8 @@ def evaluate(model, variables, loader, num_classes: int, *, prepare,
             acc, pending = flush(acc), 0
         return acc, pending
 
-    for images, labels in device_prefetch(prepared(), depth=2):
+    for images, labels in device_prefetch(prepared(), depth=2,
+                                          transfer_timeout=fetch_timeout):
         if flush_limit is None:
             batch_pixels = int(np.prod(labels.shape))
             flush_limit = max(1, min(flush_every,

@@ -153,7 +153,9 @@ def train(args, model, state: TrainState, optimizer, loader_train,
         from ..data.pipeline import device_prefetch
 
         for it, (images, labels) in enumerate(
-                device_prefetch(prepared_batches(), depth=2)):
+                device_prefetch(prepared_batches(), depth=2,
+                                transfer_timeout=getattr(
+                                    args, "fetch_timeout", 900.0))):
             state, loss = train_step(state, images, labels, lr)
             if profiler is not None:
                 profiler.step()

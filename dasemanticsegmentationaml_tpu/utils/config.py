@@ -56,6 +56,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--learning_rate", type=float, default=0.01)
     p.add_argument("--learning_rate_D", type=float, default=1e-3)
     p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--worker_timeout", type=float, default=120.0,
+                   help="input-pipeline watchdog: seconds a decode worker "
+                        "may spend on ONE sample before the epoch aborts "
+                        "with a named PipelineStallError (<=0 disables; "
+                        "raise on slow cold NFS mounts)")
+    p.add_argument("--fetch_timeout", type=float, default=900.0,
+                   help="prefetch watchdog: seconds one batch fetch "
+                        "(decode + prepare jit dispatch + H2D) may take "
+                        "before aborting with a named PipelineStallError "
+                        "(<=0 disables; default covers slow fresh "
+                        "compiles — a wedged device claim hangs forever)")
     p.add_argument("--num_classes", type=int, default=19)
     p.add_argument("--cuda", type=str, default="0",
                    help="accepted for CLI compat; ignored on TPU")

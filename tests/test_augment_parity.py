@@ -266,6 +266,57 @@ def test_device_warp_pil_exact_envelope(rng8):
     assert worst_mag <= 1.0, worst_mag
 
 
+def test_hrp_label_warp_uses_image_grid(rng8):
+    """pil-exact H-RP with label correction: the label must sample from
+    the SAME float64 host grid as the image (a float32 device grid flips
+    floor() on ~1% of pixels, shifting labels off the image they
+    annotate). Observable invariants: (a) the label's fill mask equals
+    the image's OOB fill mask exactly, including the half-open boundary;
+    (b) under a pure integer translation the label is the exact shifted
+    array."""
+    from dasemanticsegmentationaml_tpu.data.augment import IGNORE_FILL
+
+    h, w = 16, 24
+    img = _rand_img(rng8, h, w)
+    # avoid 0-valued pixels so fill=0 is unambiguous in the image
+    img = np.maximum(img, 1)
+    label = rng8.integers(0, 19, (h, w), dtype=np.int32)
+    # integer translation by (+3, +2): in-bounds region is an exact shift
+    coeffs = [1, 0, 3, 0, 1, 2, 0, 0]
+    params = {"applied": True, "hue": 0.0, "coeffs": coeffs}
+    out_img, out_lab = A.apply_family_with_params(
+        jnp.asarray(img, jnp.float32), jnp.asarray(label), "H-RP", params,
+        augment_labels=True, pil_exact=True)
+    out_img, out_lab = np.asarray(out_img), np.asarray(out_lab)
+    img_fill = np.all(out_img == 0.0, axis=-1)
+    lab_fill = out_lab == IGNORE_FILL
+    np.testing.assert_array_equal(img_fill, lab_fill)
+    np.testing.assert_array_equal(out_lab[:h - 2, :w - 3],
+                                  label[2:, 3:])
+    # boundary homography (sx == w-0.5 at x=0): both mask column 0
+    coeffs_b = [1, 0, w - 0.5, 0, 1, 0, 0, 0]
+    params_b = {"applied": True, "hue": 0.0, "coeffs": coeffs_b}
+    _, lab_b = A.apply_family_with_params(
+        jnp.asarray(img, jnp.float32), jnp.asarray(label), "H-RP",
+        params_b, augment_labels=True, pil_exact=True)
+    assert np.all(np.asarray(lab_b) == IGNORE_FILL)
+
+
+def test_rotation_fixed_point_overflow_guard():
+    """The device 16.16 rotation accumulates in int32; dimensions whose
+    corner accumulation exceeds 2^31 must raise at trace time instead of
+    silently wrapping (the host twin is int64 and unaffected)."""
+    big = jnp.zeros((2, 40000, 1), jnp.float32)
+    with pytest.raises(ValueError, match="int32 16.16"):
+        A.rotate_nearest_pil_exact(big, 10.0)
+    # normal sizes keep working
+    small = np.zeros((8, 8), np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(A.rotate_nearest_pil_exact(
+            jnp.asarray(small, jnp.float32), 10.0)),
+        px.rotate_nearest(small, 10.0).astype(np.float32))
+
+
 # ================== augmented DA train-parity oracles (one per menu)
 def _pre_augment_source_tree(src: str, dst: str, aug_type: str, params,
                              crop_h: int, crop_w: int):

@@ -101,6 +101,42 @@ def test_anneal_tuner_budget_caps_random_init():
     assert tuner.t < 1.0, "annealing phase never executed at budget 10"
 
 
+def test_anneal_tuner_init_gate_counts_issued_not_received(monkeypatch):
+    """With trial concurrency, params are issued before results return; a
+    len(history)-based init gate hands out extra random samples for every
+    in-flight trial. The gate must count ISSUED draws: after the init
+    phase, as soon as ANY result exists, a lagging history must not force
+    more pure-random sampling (deterministic seed chosen so the 10%
+    explore roll does not fire on the probed draw)."""
+    from dasemanticsegmentationaml_tpu.hpo import search as se
+
+    calls = {"n": 0}
+    real_sample = se.sample_space
+
+    def counting_sample(rng):
+        calls["n"] += 1
+        return real_sample(rng)
+
+    monkeypatch.setattr(se, "sample_space", counting_sample)
+    tuner = se.AnnealTuner(seed=1, budget=10)  # init_random == 3
+    issued = [tuner.generate_parameters() for _ in range(3)]
+    assert calls["n"] == 3
+    tuner.receive_trial_result(issued[0], 1.0)  # one result lands late
+    # concurrency lag: only 1 of 3 results in, but the init phase is
+    # SPENT — draw 4 must exploit the best observed point, not re-sample
+    before = calls["n"]
+    p4 = tuner.generate_parameters()
+    assert tuner.issued == 4
+    assert calls["n"] == before, "issued-gate fell back to random sampling"
+    assert set(p4) == set(SEARCH_SPACE)
+    # and with NO results at all (concurrency > init_random), random
+    # sampling is the only option — must not crash on empty history
+    t2 = se.AnnealTuner(seed=1, budget=10)
+    for _ in range(5):
+        t2.generate_parameters()
+    assert calls["n"] >= before + 5
+
+
 def test_trial_main_runs_da(tmp_path):
     """One in-process trial on tiny synthetic trees (the subprocess
     boundary is exercised by the experiment CLI, too slow for unit CI)."""
