@@ -223,8 +223,12 @@ def main(argv=None, report_fn=None):
         if ds is None or not args.data_cache:
             return ds
         from .data.cache import open_or_build
+        # ranks > 0 wait up to an hour for rank 0's publish on a shared
+        # FS (falling back to building their own copy if it never lands)
         return open_or_build(ds, args.data_cache,
-                             num_workers=args.num_workers)
+                             num_workers=args.num_workers,
+                             process_id=proc_id,
+                             wait_for_publish=3600.0 if proc_n > 1 else 0.0)
 
     if args.dataset == "GTAV":
         dataset = maybe_cache(
@@ -370,6 +374,16 @@ def main(argv=None, report_fn=None):
             # (under --faithful_resize the tensors are crop_width tall),
             # so the artifact serves exactly what the printed mIoU
             # certified
+            if args.export_batches and getattr(args, "export_spatial",
+                                               False):
+                # the bundle route only builds batch-sharded ('data')
+                # programs; silently shipping the wrong (throughput)
+                # sharding when the user asked for the height-sharded
+                # latency artifact would be a trap
+                raise SystemExit(
+                    "--export_batches and --export_spatial cannot be "
+                    "combined: the bundle route has no spatial-sharded "
+                    "program variant. Export them as two artifacts.")
             if args.export_batches:
                 # multi-batch bundle: one concrete-batch program per
                 # requested size in one zip (serve.py picks the best fit

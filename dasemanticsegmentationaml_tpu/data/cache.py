@@ -34,11 +34,13 @@ path — no cross-host coordination is required or assumed.
 
 from __future__ import annotations
 
-import concurrent.futures as futures
 import hashlib
 import json
 import os
 import shutil
+import socket
+import time
+import uuid
 from typing import Optional, Tuple
 
 import numpy as np
@@ -63,7 +65,11 @@ def dataset_fingerprint(dataset) -> str:
     # for any subset of it; unwrap explicitly, folding the index view
     # into the hash at each level.
     while "indices" in vars(dataset) and "dataset" in vars(dataset):
-        h.update(json.dumps({"subset": vars(dataset)["indices"]}).encode())
+        # int() each index: Subset callers routinely pass numpy arrays /
+        # np.int64 lists, which json.dumps rejects with a TypeError
+        h.update(json.dumps(
+            {"subset": [int(i) for i in vars(dataset)["indices"]]}
+        ).encode())
         dataset = vars(dataset)["dataset"]
     pairs = getattr(dataset, "pairs", None)
     if pairs is None:
@@ -136,8 +142,12 @@ def build_cache(dataset, cache_dir: str, num_workers: int = 4) -> str:
     """
     parent = os.path.dirname(os.path.abspath(cache_dir)) or "."
     os.makedirs(parent, exist_ok=True)
-    tmp = f"{cache_dir}.tmp-{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
+    # hostname + pid + random: pid alone COLLIDES across hosts sharing the
+    # cache FS (containerized ranks are routinely all pid 1), making two
+    # builders write the same tmp memmaps concurrently
+    tmp = (f"{cache_dir}.tmp-{socket.gethostname()}-{os.getpid()}-"
+           f"{uuid.uuid4().hex[:8]}")
+    os.makedirs(tmp)
     try:
         n = len(dataset)
         if n == 0:
@@ -160,9 +170,24 @@ def build_cache(dataset, cache_dir: str, num_workers: int = 4) -> str:
             images[i] = img
             labels[i] = lab
 
-        with futures.ThreadPoolExecutor(max(1, num_workers)) as pool:
-            for f in [pool.submit(put, i) for i in range(n)]:
-                f.result(timeout=600.0)
+        # daemon pool + non-joining teardown: a decode wedged past the
+        # watchdog must neither hang the build at executor shutdown (the
+        # `with ThreadPoolExecutor` form JOINS the stuck worker forever)
+        # nor keep decoding every queued sample after a failure
+        from .pipeline import PipelineStallError, _DaemonPool
+
+        pool = _DaemonPool(max(1, num_workers), name="cache-build")
+        try:
+            for i, f in enumerate([pool.submit(put, i) for i in range(n)]):
+                try:
+                    f.result(timeout=600.0)
+                except TimeoutError:
+                    raise PipelineStallError(
+                        f"cache build stalled: sample {i} not decoded "
+                        f"after 600s (dataset={type(dataset).__name__}, "
+                        f"tmp={tmp})") from None
+        finally:
+            pool.shutdown()
         images.flush()
         labels.flush()
         del images, labels
@@ -191,8 +216,9 @@ def build_cache(dataset, cache_dir: str, num_workers: int = 4) -> str:
     return cache_dir
 
 
-def open_or_build(dataset, cache_root: str,
-                  num_workers: int = 4) -> CachedDataset:
+def open_or_build(dataset, cache_root: str, num_workers: int = 4,
+                  process_id: int = 0,
+                  wait_for_publish: float = 0.0) -> CachedDataset:
     """The one-call entry: return a CachedDataset for ``dataset``,
     building the cache if this exact content+config isn't cached yet.
 
@@ -200,11 +226,25 @@ def open_or_build(dataset, cache_root: str,
     subdirectory of ``cache_root`` keyed by fingerprint, so one
     ``--data_cache`` directory serves source/target/val datasets and
     survives dataset edits (stale entries are just never opened again).
+
+    Multi-process: with wait_for_publish > 0, ranks > 0 POLL for rank
+    0's published manifest instead of each decoding the full dataset
+    into a doomed tmp dir (N-1 complete builds discarded by the rename
+    race — correct but hours of wasted decode on big datasets); if the
+    wait expires (rank 0 died or lives on a different filesystem) the
+    rank falls back to building its own copy, which stays correct.
     """
     fp = dataset_fingerprint(dataset)
     cache_dir = os.path.join(cache_root, fp[:16])
-    if not os.path.exists(os.path.join(cache_dir, _MANIFEST)):
-        build_cache(dataset, cache_dir, num_workers=num_workers)
+    manifest = os.path.join(cache_dir, _MANIFEST)
+    if not os.path.exists(manifest):
+        if process_id > 0 and wait_for_publish > 0:
+            deadline = time.monotonic() + wait_for_publish
+            while (not os.path.exists(manifest)
+                   and time.monotonic() < deadline):
+                time.sleep(2.0)
+        if not os.path.exists(manifest):
+            build_cache(dataset, cache_dir, num_workers=num_workers)
     cached = CachedDataset(cache_dir,
                            aug_type=getattr(dataset, "aug_type", None))
     if cached._man["fingerprint"] != fp:  # pragma: no cover - paranoia

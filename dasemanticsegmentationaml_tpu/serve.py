@@ -136,11 +136,21 @@ def run(artifact: str, images_dir: str, output_dir: str,
             frames = np.concatenate([frames, pad])
         return frames, chunk_call
 
+    # same-stem inputs differing only by extension (photo.jpg + photo.png)
+    # would collide after the extension strip; keep the extension in the
+    # output name for exactly those
+    stem_count: dict = {}
+    for p in paths:
+        s = os.path.splitext(os.path.relpath(p, images_dir))[0]
+        stem_count[s] = stem_count.get(s, 0) + 1
+
     def out_name(path, suffix):
         # preserve the subdirectory structure: basename-only stems would
         # silently overwrite same-named files from different directories
         rel = os.path.relpath(path, images_dir)
-        stem = os.path.splitext(rel)[0]
+        stem, ext = os.path.splitext(rel)
+        if stem_count.get(stem, 0) > 1:
+            stem = f"{stem}.{ext.lstrip('.')}"
         full = os.path.join(output_dir, f"{stem}{suffix}.png")
         os.makedirs(os.path.dirname(full), exist_ok=True)
         return full

@@ -91,6 +91,15 @@ class _LazyStorage:
     def data(self) -> np.ndarray:
         if self._data is None:
             raw = self._read_bytes()
+            itemsize = np.dtype(self.dtype).itemsize
+            if self.numel is not None and len(raw) != self.numel * itemsize:
+                # a short/overlong payload means the metadata and the
+                # storage disagree — fail loudly instead of letting
+                # as_strided read out of bounds into garbage weights
+                raise ValueError(
+                    f"torch storage payload is {len(raw)} bytes but the "
+                    f"checkpoint metadata promises {self.numel} x "
+                    f"{itemsize}-byte elements — corrupt checkpoint")
             self._data = np.frombuffer(raw, dtype=self.dtype)
         return self._data
 
@@ -108,7 +117,26 @@ class _PendingTensor:
     def materialize(self) -> np.ndarray:
         flat = self.storage.data()
         if not self.size:
+            if not 0 <= self.storage_offset < len(flat):
+                raise ValueError(
+                    f"scalar tensor offset {self.storage_offset} outside "
+                    f"its {len(flat)}-element storage — corrupt checkpoint")
             return flat[self.storage_offset].copy()
+        if 0 in self.size:
+            return np.empty(tuple(self.size), flat.dtype)
+        # bounds-check the strided extent BEFORE as_strided: numpy does no
+        # checking and would read adjacent memory into the weights
+        lo = hi = self.storage_offset
+        for n, s in zip(self.size, self.stride):
+            if s >= 0:
+                hi += (n - 1) * s
+            else:
+                lo += (n - 1) * s
+        if lo < 0 or hi >= len(flat):
+            raise ValueError(
+                f"tensor size={self.size} stride={self.stride} offset="
+                f"{self.storage_offset} spans [{lo}, {hi}] outside its "
+                f"{len(flat)}-element storage — corrupt checkpoint")
         itemsize = flat.dtype.itemsize
         strides = tuple(s * itemsize for s in self.stride)
         base = flat[self.storage_offset:]
@@ -212,7 +240,14 @@ class _TorchUnpickler(pickle.Unpickler):
 def _read_zip_checkpoint(path: str) -> Any:
     zf = zipfile.ZipFile(path)
     names = zf.namelist()
-    pkl_name = next(n for n in names if n.endswith("data.pkl"))
+    # exact-basename match: endswith("data.pkl") would also select e.g.
+    # "metadata.pkl" and derive a bogus storage prefix from it
+    pkl_name = next(
+        (n for n in names if n.split("/")[-1] == "data.pkl"), None)
+    if pkl_name is None:
+        raise ValueError(
+            f"{path}: zip archive has no data.pkl member — not a torch "
+            f"zip checkpoint (members: {names[:5]}...)")
     prefix = pkl_name[: -len("data.pkl")]
 
     def storage_loader(key, dtype, numel):
@@ -232,6 +267,11 @@ def _read_zip_checkpoint(path: str) -> Any:
 _LEGACY_MAGIC = 0x1950A86A20F9469CFC6C
 
 
+class _NotLegacyFormat(ValueError):
+    """File is not the legacy sequential-pickle format (vs being a
+    CORRUPT legacy file, which raises plain ValueError and propagates)."""
+
+
 def _read_legacy_checkpoint(path: str) -> Any:
     """torch.save(..., _use_new_zipfile_serialization=False) format:
     4 sequential pickles (magic, protocol, sys_info, object) followed by the
@@ -241,9 +281,17 @@ def _read_legacy_checkpoint(path: str) -> Any:
         data = f.read()
     buf = io.BytesIO(data)
 
-    magic = pickle.load(buf)
+    # format GATE: failures up to the magic check mean "this file is not
+    # the legacy format at all" (fall through to the other readers);
+    # anything after is a REAL decode error and must propagate — the old
+    # blanket `except Exception` reported genuine corruption (truncated
+    # storages, unsupported dtypes) as "unrecognized format"
+    try:
+        magic = pickle.load(buf)
+    except Exception as e:
+        raise _NotLegacyFormat(f"no leading pickle: {e}") from e
     if magic != _LEGACY_MAGIC:
-        raise ValueError("not a legacy torch checkpoint")
+        raise _NotLegacyFormat("not a legacy torch checkpoint")
     _protocol = pickle.load(buf)
     _sys_info = pickle.load(buf)
 
@@ -264,6 +312,10 @@ def _read_legacy_checkpoint(path: str) -> Any:
         dtype = storages[key].dtype
         (numel,) = struct.unpack("<q", buf.read(8))
         raw = buf.read(numel * dtype.itemsize)
+        if len(raw) != numel * dtype.itemsize:
+            raise ValueError(
+                f"legacy checkpoint truncated: storage {key} promises "
+                f"{numel} elements but only {len(raw)} bytes remain")
         storages[key]._data = np.frombuffer(raw, dtype=dtype)
     return _materialize_tree(obj)
 
@@ -277,7 +329,7 @@ def read_torch_checkpoint(path: str) -> Any:
         return _read_zip_checkpoint(path)
     try:
         return _read_legacy_checkpoint(path)
-    except Exception:
+    except _NotLegacyFormat:
         pass
     if tarfile.is_tarfile(path):  # pre-0.4 tar format: best-effort
         raise NotImplementedError(

@@ -7,6 +7,7 @@ asserts the substitution is invisible to the numerics."""
 
 import json
 import os
+import time
 
 import numpy as np
 import pytest
@@ -140,3 +141,47 @@ def test_cli_supervised_with_cache_matches_without(tmp_path):
                               "--data_cache", cache_dir])
     assert r_warm["miou"] == pytest.approx(r_plain["miou"], abs=0.0)
     assert sorted(os.listdir(cache_dir)) == entries
+
+
+def test_fingerprint_accepts_numpy_subset_indices(tmp_path):
+    """Subset(ds, np.ndarray) is a documented construction; np.int64
+    indices must not crash the json-based fingerprint."""
+    ds = _cityscapes(tmp_path)
+    sub_np = Subset(ds, np.array([1, 0], dtype=np.int64))
+    sub_py = Subset(ds, [1, 0])
+    assert (dcache.dataset_fingerprint(sub_np)
+            == dcache.dataset_fingerprint(sub_py))
+
+
+def test_rank_nonzero_waits_for_published_cache(tmp_path):
+    """Multi-process: a rank > 0 with wait_for_publish set opens rank 0's
+    published cache without building its own; if nothing is ever
+    published within the wait it falls back to building (correctness
+    preserved when ranks don't share a filesystem)."""
+    ds = _cityscapes(tmp_path)
+    root = str(tmp_path / "cache")
+    # rank 0 publishes
+    dcache.open_or_build(ds, root, process_id=0)
+    builds = {"n": 0}
+    real_build = dcache.build_cache
+
+    def counting_build(*a, **k):
+        builds["n"] += 1
+        return real_build(*a, **k)
+
+    dcache.build_cache, orig = counting_build, dcache.build_cache
+    try:
+        cached = dcache.open_or_build(ds, root, process_id=1,
+                                      wait_for_publish=30.0)
+        assert builds["n"] == 0  # opened the published cache, no rebuild
+        assert len(cached) == len(ds)
+        # nothing published + tiny wait -> rank 1 builds its own copy
+        root2 = str(tmp_path / "cache2")
+        t0 = time.monotonic()
+        cached2 = dcache.open_or_build(ds, root2, process_id=1,
+                                       wait_for_publish=0.1)
+        assert builds["n"] == 1
+        assert time.monotonic() - t0 < 20.0
+        assert len(cached2) == len(ds)
+    finally:
+        dcache.build_cache = orig

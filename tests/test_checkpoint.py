@@ -373,3 +373,39 @@ def test_export_variables_as_torch_state(tmp_path):
         jmodel.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
     ).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(j_out, t_out, rtol=1e-4, atol=1e-5)
+
+
+def test_corrupt_zip_checkpoint_fails_loudly(tmp_path, rng):
+    """A checkpoint whose storage payload disagrees with its metadata
+    must raise, not load garbage weights: numpy's as_strided performs no
+    bounds checks, so without the torch_io validation an out-of-bounds
+    read would silently fill parameters with adjacent memory."""
+    import zipfile
+
+    state = {"w": rng.standard_normal((4, 4)).astype(np.float32)}
+    p = str(tmp_path / "c.pth")
+    write_torch_checkpoint(p, state)
+    # truncate the storage member's bytes, keep everything else
+    trunc = str(tmp_path / "trunc.pth")
+    with zipfile.ZipFile(p) as zin, zipfile.ZipFile(trunc, "w") as zout:
+        for n in zin.namelist():
+            data = zin.read(n)
+            if n.split("/")[-2:-1] == ["data"]:
+                data = data[:-8]
+            zout.writestr(n, data)
+    with pytest.raises(ValueError, match="corrupt checkpoint"):
+        read_torch_checkpoint(trunc)
+
+
+def test_non_checkpoint_zip_fails_with_named_error(tmp_path):
+    """Any zip without a data.pkl member (e.g. an export bundle fed to
+    --pretrain_path by mistake) must raise the module's ValueError, not
+    escape as a bare StopIteration; and 'metadata.pkl' must not be
+    mistaken for the checkpoint pickle."""
+    import zipfile
+
+    p = str(tmp_path / "bundle.zip")
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("programs/metadata.pkl", b"not a checkpoint")
+    with pytest.raises(ValueError, match="no data.pkl"):
+        read_torch_checkpoint(p)
