@@ -48,7 +48,10 @@ import numpy as np
 _MANIFEST = "manifest.json"
 _IMAGES = "images.u8"
 _LABELS = "labels.u8"
-_VERSION = 1
+# v2: native loader's NEAREST resize switched to Pillow's cumulative-
+# addition index math (bit-exact parity fix) — caches built by v1 can
+# hold labels off by one source row/column at some geometries
+_VERSION = 2
 
 
 def dataset_fingerprint(dataset) -> str:

@@ -309,7 +309,8 @@ class STDCNet813(nn.Module):
                               base * int(math.pow(2, i + 2)), 1)
                     )
         self.features = feats
-        self._stage_slices = self._compute_stage_slices(len(feats))
+        self._stage_slices = self._compute_stage_slices(len(feats),
+                                                        self.layers)
 
         wide = max(1024, base * 16)
         self.conv_last = ConvX(wide, kernel=1, stride=1, **kw)
@@ -323,10 +324,16 @@ class STDCNet813(nn.Module):
         self.drop = nn.Dropout(rate=self.dropout)
 
     @staticmethod
-    def _compute_stage_slices(n: int):
-        # x2 = features[:1], x4 = [1:2], x8 = [2:4], x16 = [4:6], x32 = [6:]
-        # (reference stdcnet.py:134-138)
-        return [(0, 1), (1, 2), (2, 4), (4, 6), (6, n)]
+    def _compute_stage_slices(n: int, layers):
+        # x2 = features[:1], x4 = [1:2], then one bottleneck group per
+        # `layers` entry: x8 = [2:2+l0], x16 = [..+l1], x32 = [..:]
+        # (reference stdcnet.py:134-138 hardcodes the layers=[2,2,2]
+        # boundaries; deriving them keeps other configurations — e.g.
+        # STDC2's [4,5,3] — from silently mis-assigning blocks to strides)
+        l0, l1 = int(layers[0]), int(layers[1])
+        assert n == 2 + sum(int(v) for v in layers), (n, layers)
+        return [(0, 1), (1, 2), (2, 2 + l0), (2 + l0, 2 + l0 + l1),
+                (2 + l0 + l1, n)]
 
     def __call__(self, x: jax.Array, train: bool = False):
         """Segmentation-mode forward: the five stride-2^k feature maps

@@ -33,6 +33,12 @@ bool ends_with(const std::string& s, const std::string& suffix) {
   return tail == suffix;
 }
 
+// Cap on decoded pixels: a corrupt/hostile header claiming huge
+// dimensions must fall back to PIL (which raises a catchable Python
+// error) instead of throwing bad_alloc across the extern "C" boundary
+// (std::terminate -> the whole training process dies on one bad file).
+constexpr size_t kMaxPixels = 512ull * 1024 * 1024;  // 0.5 gigapixel
+
 // Label-map (gray) PNG decode via the full libpng API. The simplified
 // png_image API with PNG_FORMAT_GRAY expands palettized PNGs to RGB and
 // luma-converts them -- but for 'P'-mode label maps (GTA5 labels,
@@ -57,6 +63,11 @@ bool decode_png_gray(const char* path, std::vector<uint8_t>& out,
     std::fclose(f);
     return false;
   }
+  // constructed BEFORE setjmp: a longjmp from png_read_image would
+  // otherwise jump back over the live vector (formally UB, practically
+  // a heap leak per corrupt file); declared here its destructor runs on
+  // the normal return from the setjmp branch
+  std::vector<png_bytep> rows;
   if (setjmp(png_jmpbuf(png))) {  // libpng fatal error -> clean failure
     png_destroy_read_struct(&png, &info, nullptr);
     std::fclose(f);
@@ -97,8 +108,13 @@ bool decode_png_gray(const char* path, std::vector<uint8_t>& out,
     std::fclose(f);
     return false;
   }
+  if (static_cast<size_t>(w) * h > kMaxPixels) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(f);
+    return false;
+  }
   out.resize(static_cast<size_t>(w) * h);
-  std::vector<png_bytep> rows(h);
+  rows.resize(h);
   for (int y = 0; y < h; y++)
     rows[y] = out.data() + static_cast<size_t>(y) * w;
   png_read_image(png, rows.data());
@@ -115,6 +131,18 @@ bool decode_png(const char* path, bool gray, std::vector<uint8_t>& out,
   std::memset(&image, 0, sizeof(image));
   image.version = PNG_IMAGE_VERSION;
   if (!png_image_begin_read_from_file(&image, path)) return false;
+  if (image.format & (PNG_FORMAT_FLAG_ALPHA | PNG_FORMAT_FLAG_LINEAR)) {
+    // alpha (incl. palette tRNS) or 16-bit: libpng would alpha-composite
+    // / downconvert, which DIFFERS from the PIL fallback's
+    // convert("RGB") (drops alpha). PIL's conversion rules are the
+    // parity contract — defer.
+    png_image_free(&image);
+    return false;
+  }
+  if (static_cast<size_t>(image.width) * image.height > kMaxPixels) {
+    png_image_free(&image);
+    return false;
+  }
   image.format = PNG_FORMAT_RGB;
   w = static_cast<int>(image.width);
   h = static_cast<int>(image.height);
@@ -164,6 +192,11 @@ bool decode_jpeg(const char* path, bool gray, std::vector<uint8_t>& out,
   w = cinfo.output_width;
   h = cinfo.output_height;
   channels = cinfo.output_components;
+  if (static_cast<size_t>(w) * h > kMaxPixels) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return false;
+  }
   out.resize(static_cast<size_t>(w) * h * channels);
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* row = out.data() +
@@ -324,16 +357,26 @@ void resize_bilinear(const uint8_t* src, int in_w, int in_h, int ch,
   }
 }
 
-// PIL NEAREST: src index = floor((i + 0.5) * in/out), clamped.
+// PIL NEAREST: Pillow computes source positions by CUMULATIVE double
+// addition (xx = scale*0.5; per output pixel: idx = (int)xx; xx += scale
+// — ImagingTransformAffine's double path), NOT by per-pixel (i+0.5)*scale
+// multiplication. The accumulated rounding error is semantically
+// load-bearing: e.g. 640->321 output column 160 has exact center 320.0,
+// but the accumulated sum lands at 319.999... -> source index 319, while
+// the multiplicative form gives 320. Labels are class ids, so a one-off
+// here silently changes training data vs the PIL pipeline — pinned
+// bit-exact vs Pillow in tests/test_native.py.
 void resize_nearest(const uint8_t* src, int in_w, int in_h, int ch,
                     uint8_t* dst, int out_w, int out_h) {
   std::vector<int> xs(out_w), ys(out_h);
   double sx = static_cast<double>(in_w) / out_w;
   double sy = static_cast<double>(in_h) / out_h;
-  for (int x = 0; x < out_w; x++)
-    xs[x] = std::min(static_cast<int>((x + 0.5) * sx), in_w - 1);
-  for (int y = 0; y < out_h; y++)
-    ys[y] = std::min(static_cast<int>((y + 0.5) * sy), in_h - 1);
+  double xx = sx * 0.5;
+  for (int x = 0; x < out_w; x++, xx += sx)
+    xs[x] = std::min(std::max(static_cast<int>(xx), 0), in_w - 1);
+  double yy = sy * 0.5;
+  for (int y = 0; y < out_h; y++, yy += sy)
+    ys[y] = std::min(std::max(static_cast<int>(yy), 0), in_h - 1);
   for (int y = 0; y < out_h; y++) {
     const uint8_t* srow = src + static_cast<size_t>(ys[y]) * in_w * ch;
     uint8_t* drow = dst + static_cast<size_t>(y) * out_w * ch;
@@ -347,7 +390,7 @@ void resize_nearest(const uint8_t* src, int in_w, int in_h, int ch,
 
 extern "C" {
 
-int dseg_image_size(const char* path, int* w, int* h) {
+int dseg_image_size(const char* path, int* w, int* h) try {
   std::string p(path);
   if (ends_with(p, ".png")) {
     png_image image;
@@ -385,12 +428,18 @@ int dseg_image_size(const char* path, int* w, int* h) {
     return 0;
   }
   return 1;
+} catch (...) {
+  return 1;
 }
 
 // mode: 0 = bilinear (images), 1 = nearest (labels).
 // Returns 0 on success. Caller allocates out (out_h * out_w * channels).
+// noexcept boundary: any C++ exception escaping extern "C" into ctypes is
+// std::terminate -> SIGABRT for the whole training process; translate to
+// the error code (-> PIL fallback) instead.
 int dseg_decode_resize(const char* path, int out_w, int out_h, int mode,
-                       int grayscale, uint8_t* out, int* got_w, int* got_h) {
+                       int grayscale, uint8_t* out, int* got_w,
+                       int* got_h) try {
   std::vector<uint8_t> data;
   int w = 0, h = 0, ch = 0;
   if (!decode(path, grayscale != 0, data, w, h, ch)) return 1;
@@ -410,6 +459,8 @@ int dseg_decode_resize(const char* path, int out_w, int out_h, int mode,
   *got_w = out_w;
   *got_h = out_h;
   return 0;
+} catch (...) {
+  return 3;
 }
 
 }  // extern "C"

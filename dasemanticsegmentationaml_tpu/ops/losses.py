@@ -43,7 +43,16 @@ def _per_pixel_ce(logits: jax.Array, labels: jax.Array, ignore_index: int):
 def cross_entropy_ignore(
     logits: jax.Array, labels: jax.Array, ignore_index: int = 255
 ) -> jax.Array:
-    """Mean CE over non-ignored pixels (torch 'mean' reduction semantics)."""
+    """Mean CE over non-ignored pixels (torch 'mean' reduction semantics).
+
+    DELIBERATE deviation for the all-ignored edge: a batch whose every
+    label is ``ignore_index`` returns loss 0 (zero gradients), whereas
+    torch's CrossEntropyLoss(reduction='mean') returns 0/0 = NaN and
+    NaN-poisons the weights from that step onward (reference
+    train.py:86-89 has no guard). A random crop over a pure-void region
+    should be a no-op step, not a destroyed run; the count clamp below
+    is that choice. Parity oracles never hit this edge (their crops
+    always contain valid pixels)."""
     loss, valid = _per_pixel_ce(logits, labels, ignore_index)
     count = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
     return jnp.sum(loss) / count
@@ -90,13 +99,3 @@ def bce_with_logits(logits: jax.Array, targets: jax.Array) -> jax.Array:
     y = jnp.broadcast_to(jnp.asarray(targets, jnp.float32), x.shape)
     loss = jnp.maximum(x, 0.0) - x * y + jnp.log1p(jnp.exp(-jnp.abs(x)))
     return jnp.mean(loss)
-
-
-def multi_head_ce(
-    outputs, labels: jax.Array, ignore_index: int = 255
-) -> jax.Array:
-    """Sum of CE over the three BiSeNet heads (reference train.py:86-89)."""
-    total = jnp.float32(0.0)
-    for out in outputs:
-        total = total + cross_entropy_ignore(out, labels, ignore_index)
-    return total

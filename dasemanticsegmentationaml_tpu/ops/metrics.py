@@ -26,16 +26,17 @@ import jax
 import jax.numpy as jnp
 
 
-def confusion_matrix(
-    labels: jax.Array, preds: jax.Array, num_classes: int
-) -> jax.Array:
-    """fp32 (num_classes, num_classes) confusion matrix, hist[label, pred].
+# one fp32 one-hot contraction stays integer-exact while every cell count
+# is < 2^24; beyond that the einsum must be chunked (see confusion_matrix)
+_FP32_EXACT_PIXELS = 1 << 24
+# scan-chunk rows for the exact path: any value <= _FP32_EXACT_PIXELS is
+# exact; 2^20 keeps the materialized per-chunk one-hot at ~80 MB on
+# backends that don't fuse it (CPU)
+_CHUNK = 1 << 20
 
-    Rows with label outside [0, num_classes) are dropped, matching
-    ``fast_hist`` (reference utils.py:161-167).
-    """
-    labels = labels.reshape(-1).astype(jnp.int32)
-    preds = preds.reshape(-1).astype(jnp.int32)
+
+def _confusion_fp32(labels: jax.Array, preds: jax.Array,
+                    num_classes: int) -> jax.Array:
     valid = (labels >= 0) & (labels < num_classes)
     lab_oh = jax.nn.one_hot(
         jnp.where(valid, labels, 0), num_classes, dtype=jnp.float32
@@ -45,6 +46,45 @@ def confusion_matrix(
     return jnp.einsum(
         "pi,pj->ij", lab_oh, pred_oh, preferred_element_type=jnp.float32
     )
+
+
+def confusion_matrix(
+    labels: jax.Array, preds: jax.Array, num_classes: int
+) -> jax.Array:
+    """(num_classes, num_classes) confusion matrix, hist[label, pred],
+    with EXACT integer counts at any batch size.
+
+    Rows with label outside [0, num_classes) are dropped, matching
+    ``fast_hist`` (reference utils.py:161-167).
+
+    <= 2^24 pixels: one fp32 MXU einsum (every cell < 2^24 is fp32-exact),
+    returned as fp32. Larger batches (e.g. 128 x 512 x 1024 = 67M px, the
+    bench-peak eval batch) would silently round away increments once a
+    dominant-class cell crosses 2^24 — so the einsum is chunked at the
+    exact bound and accumulated in int32 (exact to 2^31), returned as
+    int32. Callers accumulate in a dtype matching their window bound
+    (train/evaluate.py)."""
+    labels = labels.reshape(-1).astype(jnp.int32)
+    preds = preds.reshape(-1).astype(jnp.int32)
+    n = labels.shape[0]
+    if n <= _FP32_EXACT_PIXELS:
+        return _confusion_fp32(labels, preds, num_classes)
+    chunk = min(_CHUNK, _FP32_EXACT_PIXELS)
+    k = -(-n // chunk)
+    pad = k * chunk - n
+    # padded labels are -1 -> invalid -> dropped rows
+    labels = jnp.pad(labels, (0, pad), constant_values=-1)
+    preds = jnp.pad(preds, (0, pad))
+
+    def body(acc, xy):
+        lab, prd = xy
+        return acc + _confusion_fp32(lab, prd, num_classes).astype(
+            jnp.int32), None
+
+    acc0 = jnp.zeros((num_classes, num_classes), jnp.int32)
+    hist, _ = jax.lax.scan(
+        body, acc0, (labels.reshape(k, chunk), preds.reshape(k, chunk)))
+    return hist
 
 
 def per_class_iou(hist: jax.Array, epsilon: float = 1e-5) -> jax.Array:

@@ -195,8 +195,9 @@ def _bwd_call(logits_t: jax.Array, labels: jax.Array,
     nb = out_h // r
     mr = jnp.asarray(_tap_matrix(h, out_h, transpose=True))
     mc = jnp.asarray(_tap_matrix(w, out_w, transpose=False))
-    mct = jnp.asarray(
-        np.ascontiguousarray(_tap_matrix(w, out_w, transpose=False).T))
+    # transpose=True IS ascontiguousarray(m.T) (upsample_argmax.py:93) —
+    # reuse its lru_cache instead of re-deriving the transpose here
+    mct = jnp.asarray(_tap_matrix(w, out_w, transpose=True))
     x2 = logits_t.reshape(b, h, c * w)
     gs = jnp.broadcast_to(gscale.reshape(b, 1), (b, 1)).astype(jnp.float32)
 
@@ -306,10 +307,22 @@ def cross_entropy_upsampled(logits: jax.Array, labels: jax.Array,
     | 'interpret' (run the Pallas kernels in interpret mode, any backend
     — used by the CPU tests to exercise the real kernel bodies).
     """
-    if force not in ("pallas", "interpret") and (
-            force == "xla"
-            or jax.default_backend() != "tpu"
-            or not supported(logits.shape, out_hw)):
+    if force in ("pallas", "interpret"):
+        # forcing must NOT bypass the shape/VMEM guard: row_block()==0
+        # shapes crash, and an over-budget Mosaic compile wedges the
+        # remote compile service for hours (CLAUDE.md) — fail loudly
+        if not supported(logits.shape, out_hw):
+            raise ValueError(
+                f"cross_entropy_upsampled(force={force!r}): shape "
+                f"{logits.shape} -> {out_hw} fails the supported() "
+                f"row-block/VMEM guard; use force='xla'")
+    elif (force == "xla"
+          or jax.default_backend() != "tpu"
+          or logits.dtype == jnp.float32
+          or not supported(logits.shape, out_hw)):
+        # fp32 logits take the exact XLA path: the kernel computes in
+        # bf16 taps, which would silently spend the fp32 parity
+        # configuration's precision (--dtype float32 trainers)
         return _xla_reference(logits, labels, out_hw, ignore_index)
     logits_t = jnp.transpose(logits.astype(jnp.bfloat16), (0, 1, 3, 2))
     return _fused_ce(logits_t, labels.astype(jnp.int32), tuple(out_hw),

@@ -35,6 +35,7 @@ Workflow::
 
 from __future__ import annotations
 
+import math
 from typing import Any, Dict, Iterable, Optional, Tuple
 
 import jax
@@ -176,6 +177,14 @@ def record_input_absmax(calib_vars, x: jax.Array) -> None:
     calib_vars["in_absmax"].value = jnp.maximum(
         calib_vars["in_absmax"].value, jnp.max(ax))
     stride = max(1, ax.size // (1 << 20))
+    # the raveled NHWC tensor is channel-periodic with period C: any
+    # stride sharing a factor with C samples a channel SUBSET (stride
+    # 192 on a C=3 stem input reads only the R channel; 256 on C=64
+    # reads only channel 0), skewing the percentile toward whatever
+    # that channel's distribution is. Make the stride coprime to C.
+    channels = x.shape[-1] if x.ndim > 1 else 1
+    while channels > 1 and math.gcd(stride, channels) != 1:
+        stride += 1
     calib_vars["in_p999"].value = jnp.maximum(
         calib_vars["in_p999"].value, jnp.quantile(ax[::stride], 0.999))
 

@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.metrics import confusion_matrix, per_class_iou
+from ..ops import metrics as _metrics
+from ..ops.metrics import confusion_matrix
 
 
 def _predict(model, variables, images, use_fused_kernel: bool):
@@ -58,8 +59,10 @@ def make_eval_step(model, num_classes: int, use_fused_kernel: bool = False):
         pred = _predict(model, variables, images, use_fused_kernel)
         labels32 = labels.astype(jnp.int32)
         hist = confusion_matrix(labels32, pred, num_classes)
-        correct = jnp.sum((pred == labels32).astype(jnp.float32))
-        total = jnp.float32(pred.size)
+        # int32 counts: exact to 2^31 pixels/batch (an fp32 sum of ones
+        # silently rounds past 2^24 -- 67M px at the bench-peak bs=128)
+        correct = jnp.count_nonzero(pred == labels32).astype(jnp.int32)
+        total = jnp.asarray(pred.size, jnp.int32)
         return hist, correct, total
 
     return step
@@ -76,9 +79,14 @@ def make_eval_accum_step(model, num_classes: int,
         hist, correct, total = acc
         pred = _predict(model, variables, images, use_fused_kernel)
         labels32 = labels.astype(jnp.int32)
-        hist = hist + confusion_matrix(labels32, pred, num_classes)
-        correct = correct + jnp.sum((pred == labels32).astype(jnp.float32))
-        total = total + jnp.float32(pred.size)
+        # the carry dtype (fp32 for small batches, int32 past the fp32
+        # integer-exact bound -- see evaluate()) sets the window bound;
+        # per-batch counts are computed exactly and cast exactly
+        hist = hist + confusion_matrix(labels32, pred,
+                                       num_classes).astype(hist.dtype)
+        correct = correct + jnp.count_nonzero(
+            pred == labels32).astype(correct.dtype)
+        total = total + jnp.asarray(pred.size, total.dtype)
         return hist, correct, total
 
     return step
@@ -104,9 +112,11 @@ def make_eval_scan_step(model, num_classes: int,
             hist, correct, total = carry
             pred = _predict(model, variables, im, use_fused_kernel)
             lb32 = lb.astype(jnp.int32)
-            hist = hist + confusion_matrix(lb32, pred, num_classes)
-            correct = correct + jnp.sum((pred == lb32).astype(jnp.float32))
-            total = total + jnp.float32(pred.size)
+            hist = hist + confusion_matrix(lb32, pred,
+                                           num_classes).astype(hist.dtype)
+            correct = correct + jnp.count_nonzero(
+                pred == lb32).astype(correct.dtype)
+            total = total + jnp.asarray(pred.size, total.dtype)
             return (hist, correct, total), None
 
         acc, _ = jax.lax.scan(body, acc, (images, labels))
@@ -115,9 +125,9 @@ def make_eval_scan_step(model, num_classes: int,
     return scan_step
 
 
-def _zero_acc(num_classes: int):
-    return (jnp.zeros((num_classes, num_classes), jnp.float32),
-            jnp.float32(0.0), jnp.float32(0.0))
+def _zero_acc(num_classes: int, dtype=jnp.float32):
+    return (jnp.zeros((num_classes, num_classes), dtype),
+            jnp.zeros((), dtype), jnp.zeros((), dtype))
 
 
 def evaluate(model, variables, loader, num_classes: int, *, prepare,
@@ -130,11 +140,14 @@ def evaluate(model, variables, loader, num_classes: int, *, prepare,
     """Full-dataset eval; returns (precision, miou) like reference val().
 
     flush_every is a CAP on the device-accumulation window; the actual
-    window is min(flush_every, 2^24 // pixels_per_batch) so every fp32
+    window is min(flush_every, bound // pixels_per_batch) so every
     histogram cell and the correct/total scalars stay inside the
-    integer-exact range before each float64 flush -- counts are exact,
-    not just drift-bounded (a dominant-class cell can only reach
-    window * batch_pixels <= 2^24).
+    accumulator's integer-exact range before each float64 flush --
+    counts are EXACT, not drift-bounded. Small batches accumulate in
+    fp32 (bound 2^24); a batch bigger than 2^24 px alone (67M at the
+    bench-peak bs=128) flips the accumulators to int32 (bound 2^31),
+    and confusion_matrix chunks its einsum so the per-batch counts are
+    exact too.
 
     scan_window > 1 groups that many same-shaped batches per dispatch via
     ``lax.scan`` (make_eval_scan_step) -- one tunnel round trip per
@@ -162,19 +175,20 @@ def evaluate(model, variables, loader, num_classes: int, *, prepare,
         for batch in loader:
             yield prepare(batch)
 
-    acc = _zero_acc(num_classes)
+    acc = None  # created on the first batch, dtype sized to its pixels
     pending = 0
     flush_limit = None
     window = 0
     buf = []
     buf_shape = None
+    acc_dtype = jnp.float32
 
     def flush(acc):
         nonlocal hist, correct, total
         hist += np.asarray(acc[0], np.float64)
         correct += float(acc[1])
         total += float(acc[2])
-        return _zero_acc(num_classes)
+        return _zero_acc(num_classes, acc_dtype)
 
     def drain(acc, pending, n_new):
         pending += n_new
@@ -186,8 +200,19 @@ def evaluate(model, variables, loader, num_classes: int, *, prepare,
                                           transfer_timeout=fetch_timeout):
         if flush_limit is None:
             batch_pixels = int(np.prod(labels.shape))
+            # accumulate in fp32 while a whole window stays under the
+            # fp32 integer-exact bound; past it (one batch alone can be
+            # 67M px at bs=128) switch the device accumulators to int32,
+            # exact to 2^31 -- per-batch counts are exact either way
+            # (confusion_matrix chunks its einsum at the fp32 bound)
+            if batch_pixels > _metrics._FP32_EXACT_PIXELS:
+                acc_dtype = jnp.int32
+                bound = 2**31 - 1
+            else:
+                bound = _metrics._FP32_EXACT_PIXELS
+            acc = _zero_acc(num_classes, acc_dtype)
             flush_limit = max(1, min(flush_every,
-                                     (1 << 24) // max(batch_pixels, 1)))
+                                     bound // max(batch_pixels, 1)))
             # a full scan window must itself stay integer-exact
             window = min(scan_window, flush_limit) if scan_window > 1 else 0
         if window > 1:
@@ -219,7 +244,12 @@ def evaluate(model, variables, loader, num_classes: int, *, prepare,
 
         hist, correct, total = allreduce_counts(hist, correct, total)
     precision = correct / max(total, 1.0)
-    miou_list = np.asarray(per_class_iou(jnp.asarray(hist)))
+    # IoU on the HOST in float64: jnp.asarray would downcast the exactly
+    # accumulated float64 histogram to fp32 (x64 disabled), spending the
+    # exact-count design for nothing; the reference's per_class_iu is
+    # numpy float64 too (utils.py:170-172)
+    diag = np.diagonal(hist)
+    miou_list = diag / (hist.sum(axis=1) + hist.sum(axis=0) - diag + 1e-5)
     miou = float(np.mean(miou_list))
     if print_results:
         print("precision per pixel for test: %.3f" % precision)

@@ -53,7 +53,11 @@ def make_supervised_loss(model, *, ohem: Optional[dict] = None,
                                       ohem["keep_num"], ignore_index)
         return cross_entropy_ignore(out, labels, ignore_index)
 
-    use_fused_loss = ohem is None and jax.default_backend() == "tpu"
+    # the fused kernel computes in bf16 taps; the fp32 parity
+    # configuration (--dtype float32) must keep the exact fp32 HIGHEST
+    # XLA path (CLAUDE.md parity rule) — gate on the model dtype
+    use_fused_loss = (ohem is None and jax.default_backend() == "tpu"
+                      and getattr(model, "dtype", None) == jnp.bfloat16)
 
     def loss_and_stats(params, batch_stats, images, labels):
         variables = {"params": params, "batch_stats": batch_stats}

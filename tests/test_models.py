@@ -144,3 +144,22 @@ def test_bisenet_bf16_forward(bisenet_vars):
     out, _, _ = model.apply(variables, jnp.ones((1, 64, 128, 3)), train=False)
     assert out.dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(out, dtype=np.float32)).all()
+
+
+def test_stdcnet_nondefault_layers_stage_strides():
+    """`layers` is configurable (reference STDC2/1446 uses [4,5,3] with
+    the same machinery): stage slices must be DERIVED from it — the
+    hardcoded (2,4),(4,6),(6,n) boundaries of layers=(2,2,2) silently
+    mis-assign blocks to strides for any other value."""
+    import jax
+
+    model = STDCNet813(layers=(4, 5, 3))
+    x = jnp.zeros((1, 64, 128, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    feats = model.apply(variables, x, train=False)
+    assert len(feats) == 5
+    for i, f in enumerate(feats):
+        stride = 2 ** (i + 1)
+        assert f.shape[1:3] == (64 // stride, 128 // stride), (i, f.shape)
+    # channel plan still doubles per stage after the stem (64-256-512-1024)
+    assert [f.shape[-1] for f in feats] == [32, 64, 256, 512, 1024]

@@ -142,3 +142,67 @@ def test_truncated_jpeg_survives(tmp_path, rng):
     # (not fatal) or fail outright; both are fine -- the process survives
     # and the result is either None or a full-shape uint8 array.
     assert out is None or out.shape == (64, 96, 3)
+
+
+def test_nearest_resize_cumulative_accumulation_parity(tmp_path, rng):
+    """Pillow's NEAREST computes source indices by CUMULATIVE double
+    addition, not per-pixel (i+0.5)*scale multiplication — at 640->321
+    output column 160 the two differ (accumulated sum 319.999.. -> 319
+    vs exact center 320.0 -> 320) and whole label columns shift.
+    Bit-exact parity with PIL at adversarial geometries."""
+    from PIL import Image
+
+    for (sw, sh), (dw, dh) in [((640, 480), (321, 241)),
+                               ((640, 4), (333, 3)),
+                               ((1999, 7), (777, 5))]:
+        lab = rng.integers(0, 35, (sh, sw), dtype=np.uint8)
+        p = str(tmp_path / f"l_{sw}x{sh}_{dw}x{dh}.png")
+        Image.fromarray(lab, mode="L").save(p)
+        want = np.array(Image.fromarray(lab, mode="L").resize(
+            (dw, dh), Image.NEAREST))
+        nat = native.decode_resize(p, (dw, dh), "nearest", grayscale=True)
+        assert nat is not None
+        np.testing.assert_array_equal(nat, want, err_msg=f"{sw}x{sh}->"
+                                                         f"{dw}x{dh}")
+
+
+def test_rgba_png_defers_to_pil_conversion(tmp_path):
+    """An RGBA image must NOT be decoded natively: libpng's simplified
+    API alpha-composites to RGB, while the PIL fallback's convert('RGB')
+    drops alpha — PIL's rule is the parity contract, so the native path
+    declines and the pipeline result equals PIL's."""
+    from PIL import Image
+
+    from dasemanticsegmentationaml_tpu.data.transforms_host import (
+        load_image)
+
+    rgba = np.zeros((8, 8, 4), np.uint8)
+    rgba[..., 0], rgba[..., 1], rgba[..., 2], rgba[..., 3] = 200, 100, 50, 128
+    p = str(tmp_path / "a.png")
+    Image.fromarray(rgba, "RGBA").save(p)
+    assert native.decode_resize(p, None, "bilinear") is None
+    with open(p, "rb") as fh:
+        pil_rgb = np.array(Image.open(fh).convert("RGB"))
+    out = load_image(p, None)
+    np.testing.assert_array_equal(out, pil_rgb)
+
+
+def test_huge_header_png_survives(tmp_path):
+    """A PNG whose IHDR claims absurd dimensions must return None (PIL
+    fallback / catchable error), not throw bad_alloc across the ctypes
+    boundary and SIGABRT the process."""
+    import struct
+    import zlib
+
+    def chunk(typ, payload):
+        c = typ + payload
+        return (struct.pack(">I", len(payload)) + c
+                + struct.pack(">I", zlib.crc32(c) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 500000, 500000, 8, 2, 0, 0, 0)
+    p = str(tmp_path / "huge.png")
+    with open(p, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+                + chunk(b"IEND", b""))
+    assert native.decode_resize(p, (8, 8), "bilinear") is None

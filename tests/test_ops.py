@@ -313,3 +313,31 @@ def test_adjust_learning_rate_surface():
     lrd, lrd10 = adjust_learning_rate_D(args, 30)
     assert abs(lrd - 1e-3 * (1 - 30 / 300) ** 0.9) < 1e-12
     assert abs(lrd10 - 10 * lrd) < 1e-12
+
+
+def test_confusion_matrix_exact_past_fp32_bound(monkeypatch):
+    """Above the fp32 integer-exact pixel bound the confusion einsum is
+    chunked and accumulated in int32 — counts must stay EXACT (one fp32
+    einsum silently rounds away increments once a cell crosses 2^24;
+    bounds shrunk here so the test runs at toy size)."""
+    from dasemanticsegmentationaml_tpu.ops import metrics as M
+
+    monkeypatch.setattr(M, "_FP32_EXACT_PIXELS", 1024)
+    monkeypatch.setattr(M, "_CHUNK", 256)
+    rng = np.random.default_rng(3)
+    n = 5000  # > bound, not a chunk multiple (exercises the pad path)
+    labels = rng.integers(0, 19, n).astype(np.int32)
+    labels[rng.random(n) < 0.1] = 255  # ignore pixels -> dropped rows
+    preds = rng.integers(0, 19, n).astype(np.int32)
+    hist = np.asarray(M.confusion_matrix(jnp.asarray(labels),
+                                         jnp.asarray(preds), 19))
+    assert hist.dtype == np.int32
+    # reference: the fast_hist bincount formula (reference utils.py:161-167)
+    valid = (labels >= 0) & (labels < 19)
+    want = np.bincount(19 * labels[valid] + preds[valid],
+                       minlength=361).reshape(19, 19)
+    np.testing.assert_array_equal(hist, want)
+    # all-one-class worst case: a single cell crossing the shrunk bound
+    hist1 = np.asarray(M.confusion_matrix(jnp.zeros(n, jnp.int32),
+                                          jnp.zeros(n, jnp.int32), 19))
+    assert hist1[0, 0] == n

@@ -555,3 +555,25 @@ def test_da_loop_defers_per_step_tb_scalars():
         for s, c in writes:
             assert c % steps_per_epoch == 0, (
                 f"{tag} {s} written mid-epoch (after {c} steps)")
+
+
+def test_evaluate_int32_mode_matches_fp32(bisenet_setup, monkeypatch):
+    """A batch bigger than the fp32 integer-exact bound flips the device
+    accumulators to int32 (and chunks the confusion einsum); metrics must
+    be IDENTICAL to the fp32 path (bound shrunk so a toy batch crosses
+    it)."""
+    from dasemanticsegmentationaml_tpu.ops import metrics as M
+
+    model, variables = bisenet_setup
+    rng = np.random.default_rng(5)
+    batches = [(rng.standard_normal((2, H, W, 3)).astype(np.float32),
+                rng.integers(0, 19, (2, H, W)).astype(np.uint8))
+               for _ in range(3)]
+    prepare = lambda b: (jnp.asarray(b[0]), jnp.asarray(b[1]))  # noqa: E731
+    ref = evaluate(model, variables, list(batches), 19, prepare=prepare,
+                   print_results=False)
+    monkeypatch.setattr(M, "_FP32_EXACT_PIXELS", 64)  # 2*H*W >> 64
+    monkeypatch.setattr(M, "_CHUNK", 1024)
+    got = evaluate(model, variables, list(batches), 19, prepare=prepare,
+                   print_results=False)
+    assert got == ref
