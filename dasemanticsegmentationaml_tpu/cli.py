@@ -49,7 +49,13 @@ def load_pretrain(variables, pretrain_path: str):
     (model_stages.py:224-227)."""
     if not pretrain_path:
         return variables
-    if "STDCNet" in os.path.basename(pretrain_path):
+    # FULL-path 'STDCNet' match like the reference (stdcnet.py:141) — a
+    # basename-only match silently loaded NOTHING for paths like
+    # .../STDCNet813/model.tar. A path matching BOTH rules (e.g.
+    # STDCNet813_best.pth) routes to the full-net loader: the reference
+    # would attempt both and crash in the backbone branch (no
+    # 'state_dict' key in a full .pth).
+    if "STDCNet" in pretrain_path and ".pth" not in pretrain_path:
         obj = torch_io.read_torch_checkpoint(pretrain_path)
         if isinstance(obj, dict) and "state_dict" in obj:
             obj = obj["state_dict"]
@@ -58,16 +64,27 @@ def load_pretrain(variables, pretrain_path: str):
         new_vars, report = torch_io.load_into_variables(variables, prefixed)
         print(f"i'm using pre-trained: {pretrain_path} "
               f"({len(report['loaded'])} tensors)")
+        if not report["loaded"]:
+            raise SystemExit(
+                f"--pretrain_path {pretrain_path}: ZERO tensors matched "
+                f"the backbone namespace — wrong checkpoint kind?")
         return new_vars
     if ".pth" in pretrain_path:
         new_vars, report = torch_io.load_pretrained(variables, pretrain_path)
         print(f"i'm using pre-trained net: {pretrain_path} "
               f"({len(report['loaded'])} tensors)")
+        if not report["loaded"]:
+            raise SystemExit(
+                f"--pretrain_path {pretrain_path}: ZERO tensors matched "
+                f"the model — wrong checkpoint kind?")
         return new_vars
+    print(f"--pretrain_path {pretrain_path}: matches neither the "
+          f"'STDCNet' backbone rule nor '.pth' — NOT loaded (the "
+          f"reference would random-init too, stdcnet.py:141-144)")
     return variables
 
 
-def make_checkpoint_fn(args, model_kind_main="bisenet"):
+def make_checkpoint_fn(args):
     """Persist reference-compatible .pth + orbax full state.
 
     Besides the per-name orbax save, a stable alias ('latest' for the main
@@ -117,6 +134,14 @@ def maybe_resume(args, state, alias="latest"):
     """
     if not args.resume:
         return state, args.epoch_start_i
+    if not os.path.isdir(os.path.join(args.resume, alias)):
+        have = sorted(d for d in os.listdir(args.resume)
+                      if os.path.isdir(os.path.join(args.resume, d))) \
+            if os.path.isdir(args.resume) else []
+        raise SystemExit(
+            f"--resume: no '{alias}' state under {args.resume} "
+            f"(found: {have or 'nothing'}); the run died before its "
+            f"first checkpoint epoch")
     restored = orbax_io.restore_train_state(args.resume, alias,
                                             template=jax.device_get(state))
     epoch = orbax_io.latest_epoch_marker(args.resume)
@@ -338,7 +363,10 @@ def main(argv=None, report_fn=None):
             assert_same_across_processes(result[1], "val mIoU")
         return result
 
-    writer = make_writer(args.tensorboard)
+    # rank-0-only like the .pth/EPOCH writes: every rank creating a
+    # writer on one host appends interleaved duplicate events into the
+    # same (second-resolution-named) events file
+    writer = make_writer(args.tensorboard) if proc_id == 0 else None
     logger = JsonlLogger(args.jsonl_log)
     profiler = Profiler(args.profile_dir) if args.profile_dir else None
     checkpoint_fn = make_checkpoint_fn(args)
@@ -396,18 +424,22 @@ def main(argv=None, report_fn=None):
                 from .utils.export import export_inference_bundle
                 batches = [int(x) for x in
                            args.export_batches.split(",") if x]
-                mesh = None
+                # export_mesh, NOT `mesh`: the training/eval mesh local
+                # is still read by the prepare closures for the post-
+                # export certifying eval — rebinding it here sharded (or
+                # crashed) that eval
+                export_mesh = None
                 if args.export_devices > 1:
                     devs = jax.devices()
                     if len(devs) < args.export_devices:
                         raise SystemExit(
                             f"--export_devices {args.export_devices} but "
                             f"only {len(devs)} devices visible")
-                    mesh = Mesh(np.asarray(devs[:args.export_devices]),
-                                ("data",))
+                    export_mesh = Mesh(
+                        np.asarray(devs[:args.export_devices]), ("data",))
                 progs = export_inference_bundle(
                     eval_model, eval_vars, h_act, w_act, batches,
-                    mesh=mesh, use_fused_kernel=fused,
+                    mesh=export_mesh, use_fused_kernel=fused,
                     platforms=None if fused else ("cpu", "tpu"),
                     path=args.export_model)
                 exported = progs[max(progs)]
@@ -426,17 +458,18 @@ def main(argv=None, report_fn=None):
                         f"{len(devs)} devices visible")
                 if args.export_spatial:
                     from .utils.export import export_inference_spatial
-                    mesh = Mesh(np.asarray(devs[:args.export_devices]),
-                                ("spatial",))
+                    export_mesh = Mesh(
+                        np.asarray(devs[:args.export_devices]),
+                        ("spatial",))
                     exported = export_inference_spatial(
-                        eval_model, eval_vars, h_act, w_act, mesh,
+                        eval_model, eval_vars, h_act, w_act, export_mesh,
                         platforms=("cpu", "tpu"),
                         path=args.export_model)
                 else:
-                    mesh = Mesh(
+                    export_mesh = Mesh(
                         np.asarray(devs[:args.export_devices]), ("data",))
                     exported = export_inference_sharded(
-                        eval_model, eval_vars, h_act, w_act, mesh,
+                        eval_model, eval_vars, h_act, w_act, export_mesh,
                         use_fused_kernel=fused,
                         # the shard_map (fused) route needs a concrete
                         # batch

@@ -119,7 +119,16 @@ def main(argv=None):
     result = cli.main(cli_args,
                       report_fn=lambda epoch, miou:
                       reporter.intermediate(float(miou)))
-    miou = float(result.get("max_miou") or result.get("miou") or 0.0)
+    # explicit key checks, NOT an `or` chain: a legitimate max_miou of
+    # 0.0 (every validation diverged) is falsy and would fall through to
+    # the final-eval miou — a DIFFERENT metric than the reference's
+    # max-of-validations (train_nni.py:195), skewing the tuner
+    if "max_miou" in result:
+        miou = float(result["max_miou"])
+    elif "miou" in result:
+        miou = float(result["miou"])
+    else:
+        miou = 0.0
     reporter.final(miou)
     return miou
 

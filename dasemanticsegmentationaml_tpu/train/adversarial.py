@@ -438,7 +438,16 @@ def train_da(args, g_model, d_model, g_state, d_state, g_optimizer,
             if miou > max_miou:
                 max_miou = miou
                 if checkpoint_fn is not None:
+                    # save BOTH nets: a best-save updates G's 'latest'
+                    # alias and the shared EPOCH marker, so leaving D
+                    # behind would make --resume restore an incoherent
+                    # G/D pair (G at the best epoch, D at the last
+                    # checkpoint_step epoch). The reference writes only
+                    # best.pth (train.py:285-293); best_D1 is the resume
+                    # capability's coherence requirement.
                     checkpoint_fn(g_state, "best", epoch=epoch)
+                    checkpoint_fn(d_state, "best_D1",
+                                  model="discriminator", epoch=epoch)
             if writer is not None:
                 writer.add_scalar("epoch/precision_val", precision, epoch)
                 writer.add_scalar("epoch/miou val", miou, epoch)

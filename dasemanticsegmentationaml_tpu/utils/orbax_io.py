@@ -54,6 +54,14 @@ def latest_epoch_marker(directory: str) -> Optional[int]:
 
 
 def write_epoch_marker(directory: str, epoch: int) -> None:
+    # atomic tmp+rename: an open-truncate-write interrupted mid-write
+    # leaves an empty/partial EPOCH, and the next --resume dies in
+    # int('') — bricking exactly the preemption-recovery path the
+    # marker exists for
     os.makedirs(directory, exist_ok=True)
-    with open(os.path.join(directory, "EPOCH"), "w") as f:
+    tmp = os.path.join(directory, f".EPOCH.tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
         f.write(str(epoch))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(directory, "EPOCH"))

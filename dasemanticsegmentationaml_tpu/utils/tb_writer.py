@@ -110,8 +110,11 @@ class EventWriter:
     def __init__(self, logdir: str):
         os.makedirs(logdir, exist_ok=True)
         self.logdir = logdir
-        fname = "events.out.tfevents.%010d.%s" % (
-            time.time(), socket.gethostname())
+        # pid suffix: two writers started within the same second on one
+        # host (multi-process ranks, parallel test runs) must not append
+        # into the SAME file
+        fname = "events.out.tfevents.%010d.%s.%d" % (
+            time.time(), socket.gethostname(), os.getpid())
         self._f = open(os.path.join(logdir, fname), "ab")
         self._f.write(frame_record(encode_version_event(time.time())))
         self._f.flush()

@@ -409,3 +409,28 @@ def test_non_checkpoint_zip_fails_with_named_error(tmp_path):
         z.writestr("programs/metadata.pkl", b"not a checkpoint")
     with pytest.raises(ValueError, match="no data.pkl"):
         read_torch_checkpoint(p)
+
+
+def test_load_pretrain_dispatch_and_zero_match_guard(tmp_path, rng):
+    """Reference dispatch on the FULL path (stdcnet.py:141: 'STDCNet' in
+    pretrain_path — a basename-only match silently skipped
+    .../STDCNet813/model.tar), and ZERO matched tensors must raise
+    instead of silently training from random init."""
+    import pytest as _pytest
+
+    from dasemanticsegmentationaml_tpu import cli
+    from dasemanticsegmentationaml_tpu.models import build_discriminator
+
+    d = build_discriminator(19, depthwise=True, batch_norm=True)
+    variables = d.init(jax.random.PRNGKey(0), np.zeros((1, 32, 64, 19),
+                                                       np.float32))
+    # neither rule matches: unchanged variables, no exception
+    out = cli.load_pretrain(variables, str(tmp_path / "weights.bin"))
+    assert out is variables
+    # a .pth whose keys match nothing must raise, not silently no-op
+    bad = str(tmp_path / "junk.pth")
+    write_torch_checkpoint(bad, {"totally.unrelated.weight":
+                                 rng.standard_normal((3, 3))
+                                 .astype(np.float32)})
+    with _pytest.raises(SystemExit, match="ZERO tensors"):
+        cli.load_pretrain(variables, bad)

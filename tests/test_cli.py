@@ -259,6 +259,12 @@ def test_cli_domain_adaptation(tmp_path):
 
     state = read_torch_checkpoint(p)
     assert any(k.startswith("module.conv1_d.") for k in state)
+    # a best save must keep the G/D pair COHERENT for --resume: best.pth
+    # implies best_D1.pth and both orbax aliases updated together
+    if os.path.exists(os.path.join(save, "best.pth")):
+        assert os.path.exists(os.path.join(save, "best_D1.pth"))
+        assert os.path.isdir(os.path.join(save, "orbax", "latest"))
+        assert os.path.isdir(os.path.join(save, "orbax", "latest_D1"))
 
 
 def test_cli_domain_adaptation_per_replica_bn(tmp_path):
