@@ -210,11 +210,34 @@ def test_sharded_combined_da_step_matches_single_device(setup):
     for k in ("loss", "loss_D1", "loss_G", "loss_adv"):
         np.testing.assert_allclose(float(m_sh[k]), float(m_lo[k]),
                                    rtol=1e-5, atol=1e-6, err_msg=k)
-    for new_sh, new_lo in ((g_sh, g_lo), (d_sh, d_lo)):
-        jax.tree.map(
-            lambda a, b: np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
-            new_sh.params, new_lo.params)
+    # G (SGD+momentum): reduction-order fp noise stays O(noise) through
+    # the update -- strict tolerance.
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+        g_sh.params, g_lo.params)
+    # D (Adam, step 1): the update is ~sign(g)*lr_D wherever v==0 --
+    # m/(sqrt(v)+eps) saturates for ANY nonzero g -- so SPMD psum
+    # reduction order flipping the sign of a near-zero gradient element
+    # shows up as a full 2*lr_D param diff. Allow a tiny budget of such
+    # sign-flip-bounded mismatches (observed: ~13/19456 elements of
+    # D.conv1 at |diff| <= 2*1e-3 after an unrelated loss-path numerics
+    # change re-rolled the fp dice); everything else stays strict.
+    lr_d = 1e-3
+
+    def d_close(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        diff = np.abs(a - b)
+        bad = diff > (1e-5 + 1e-4 * np.abs(b))
+        if bad.any():
+            assert float(diff[bad].max()) <= 2.05 * lr_d, (
+                "sharded-vs-local D diff exceeds the Adam step-1 "
+                f"sign-flip bound: {float(diff[bad].max())}")
+            assert float(bad.mean()) <= 2e-3, (
+                f"too many sign-flipped D elements: {int(bad.sum())}"
+                f"/{bad.size}")
+
+    jax.tree.map(d_close, d_sh.params, d_lo.params)
 
 
 def test_check_spatial_height():
