@@ -22,6 +22,14 @@ def test_supported_shapes():
     assert not FC.supported((2, 64, 128, 19), (500, 1024))   # rows % 8
     assert not FC.supported((2, 64, 128, 19), (512, 1000))   # W % 128
     assert not FC.supported((2, 64, 128, 64), (512, 1024))   # C > 32
+    # interpret mode never reaches Mosaic: only the row-block recurrence
+    # gates it, so the tiny CPU-test shapes (which fail lane tiling)
+    # stay runnable while force='pallas' keeps the full compile guard
+    # (regression: the round-4 force-guard rejected the interpret tests)
+    assert FC.supported((2, 4, 8, 19), (32, 64), interpret=True)
+    assert not FC.supported((2, 4, 8, 19), (32, 64))
+    assert not FC.supported((2, 64, 128, 19), (500, 1024),
+                            interpret=True)  # rows%8: no row-block part.
 
 
 def test_fallback_equals_resize_then_ce():
