@@ -16,6 +16,30 @@ what the hardware actually charges for:
 If rows/s is constant across dtypes the gather is per-row latency-bound
 (pack more per row); if B/s is constant it is bandwidth-bound.
 
+MEASURED (v5e, 2026-08-21, bs=128 1024x512, isolated warp):
+
+  bil_bf16  11604 us/img  45.2 Mrows/s   (matches bench_aug's 11938
+  bil_u8    10488 us/img  50.0 Mrows/s    end-to-end H-RP: the grid
+  near_bf16  8583 us/img  61.1 Mrows/s    math is negligible)
+  near_u8    7873 us/img  66.6 Mrows/s
+
+Verdict: PER-ROW-LATENCY-BOUND, ~14-20 cycles/row regardless of row
+bytes (24B->3B barely moves it) — uint8 tables are only +10%, and even
+the 1-tap nearest gather (the B-GS-R rotation shape) pays 8.6 ms/img.
+The only lever is ROW-COUNT reduction:
+  * rotation (affine, nearest): a 3-shear decomposition makes every pass
+    a per-row-CONSTANT shift = H whole-row gathers instead of H*W pixel
+    gathers (~1536 rows/img, est ~0.1 ms/img, ~86x) — but composed
+    integer rounding differs from PIL's direct inverse map by +-1 px on
+    rounding-boundary pixels, so it cannot serve the pil-exact replay
+    paths; it would be a training-path-only mode with a measured
+    displacement envelope. PARKED: design is sound, parity-envelope work
+    is the cost.
+  * perspective (projective, bilinear): not shear-decomposable; pixel-
+    packing (k output px per gathered row) trades row count for row
+    width but rotation-sized spans blow the row width up. No good
+    in-XLA form; an in-kernel Mosaic gather path does not exist.
+
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/probe_warp.py
        [WARP_VARIANTS=bil_u8,near_bf16 ...] one jit program per variant,
        results flush incrementally (survive a timeout kill).
@@ -66,7 +90,9 @@ def _bil(img, x0i, y0i, wx, wy, dtype, mode):
     stack = _stack4(img, dtype)
     flat = stack.reshape(H * W, 4 * 3)
     idx = (y0i * W + x0i).reshape(-1)
-    g = jnp.take(flat, idx, axis=0, mode=mode).reshape(H, W, 4, 3)
+    # indices are pre-clipped: promise_in_bounds is safe and skips the
+    # OOB handling ('clip' is what jnp.take compiles to otherwise)
+    g = flat.at[idx].get(mode=mode).reshape(H, W, 4, 3)
     g = g.astype(jnp.float32)
     top = g[..., 0, :] * (1 - wx)[..., None] + g[..., 1, :] * wx[..., None]
     bot = g[..., 2, :] * (1 - wx)[..., None] + g[..., 3, :] * wx[..., None]
@@ -76,7 +102,7 @@ def _bil(img, x0i, y0i, wx, wy, dtype, mode):
 def _near(img, x0i, y0i, wx, wy, dtype, mode):
     f = img.astype(dtype)
     idx = (y0i * W + x0i).reshape(-1)
-    g = jnp.take(f.reshape(H * W, 3), idx, axis=0, mode=mode)
+    g = f.reshape(H * W, 3).at[idx].get(mode=mode)
     return g.astype(jnp.float32).reshape(H, W, 3)
 
 
