@@ -207,6 +207,39 @@ def build_mesh(args):
                                args.spatial_devices)
 
 
+def resolve_host_augment(aug_type, host_augment, backend):
+    """Where does --aug_type run? Returns (host: bool, note: str|None).
+
+    The reference augments on the host in DataLoader workers (reference
+    dataset/GTAV.py:32-59, train.py:465-470); our default is device
+    kernels. The two GEOMETRIC menus are gather-latency-bound on the
+    TPU's serial gather engine — measured 11.9 ms/img (H-RP) / 8.5
+    (B-GS-R) vs a 1.53 ms/img DA train step (tools/probe_warp.py,
+    tools/bench_aug.py) — so 'auto' (--host_augment unset) routes them
+    to the host path (data/host_augment.py, bit-exact Pillow math) on
+    TPU backends, and an EXPLICIT device request still gets the
+    measured-cost warning instead of a silent 6-8x slowdown."""
+    if aug_type is None:
+        return False, None
+    geometric = aug_type in ("H-RP", "B-GS-R")
+    if host_augment is None:  # auto
+        if geometric and backend == "tpu":
+            return True, (
+                f"--aug_type {aug_type}: geometric menus are gather-"
+                f"latency-bound on TPU (8.5-11.9 ms/img measured, "
+                f"tools/probe_warp.py) — augmenting on the HOST "
+                f"(--host_augment False forces the device kernels)")
+        return False, None
+    if not host_augment and geometric and backend == "tpu":
+        return False, (
+            f"WARNING: --aug_type {aug_type} on device: the "
+            f"{'perspective warp' if aug_type == 'H-RP' else 'rotation'} "
+            f"gather costs ~{'11.9' if aug_type == 'H-RP' else '8.5'} "
+            f"ms/img on TPU (vs a 1.53 ms/img DA step, tools/"
+            f"probe_warp.py) — consider --host_augment True")
+    return bool(host_augment), None
+
+
 def main(argv=None, report_fn=None):
     """report_fn(epoch, miou): optional per-validation-epoch hook, used by
     hpo.trial to forward intermediate results to the tuner (reference
@@ -255,15 +288,30 @@ def main(argv=None, report_fn=None):
                              process_id=proc_id,
                              wait_for_publish=3600.0 if proc_n > 1 else 0.0)
 
+    host_aug, host_aug_note = resolve_host_augment(
+        args.aug_type, args.host_augment, jax.default_backend())
+    if host_aug_note and proc_id == 0:
+        print(host_aug_note)
+
+    def maybe_host_augment(ds):
+        """--host_augment routing: wrap a TRAIN dataset so the menu runs
+        in the Loader's decode workers (post-cache: decode once,
+        re-augment every epoch)."""
+        if ds is None or not host_aug:
+            return ds
+        from .data.host_augment import HostAugment
+        return HostAugment(ds, args.aug_type, seed=args.seed,
+                           augment_labels=args.augment_labels)
+
     if args.dataset == "GTAV":
         dataset = maybe_cache(
             GtaV(args.root, args.aug_type, args.crop_height,
                  args.crop_width, faithful_resize=args.faithful_resize))
         train_idx, val_idx = train_val_split(len(dataset))
-        train_ds = Subset(dataset, train_idx)
+        train_ds = maybe_host_augment(Subset(dataset, train_idx))
         val_ds = Subset(dataset, val_idx)
         remap_train = remap_val = True
-        aug_train = args.aug_type
+        aug_train = None if host_aug else args.aug_type
     else:
         # neither eval-only mode nor DA (which trains on --root_source/
         # --root_target) uses a train split from --root
@@ -511,9 +559,9 @@ def main(argv=None, report_fn=None):
                              "4-phase DA step applies the phase-1 update "
                              "before phase 2, which gradient accumulation "
                              "would defer")
-        source_ds = maybe_cache(
+        source_ds = maybe_host_augment(maybe_cache(
             GtaV(args.root_source, args.aug_type, args.crop_height,
-                 args.crop_width, faithful_resize=args.faithful_resize))
+                 args.crop_width, faithful_resize=args.faithful_resize)))
         target_ds = maybe_cache(
             CityScapes("train", args.root_target, args.crop_height,
                        args.crop_width,
@@ -593,7 +641,8 @@ def main(argv=None, report_fn=None):
         g_state, d_state, max_miou = train_da(
             args, model, d_model, g_state, d_state, g_opt, d_opt,
             loader_source, loader_target,
-            prepare_source=make_prepare(args.aug_type, True),
+            prepare_source=make_prepare(None if host_aug else args.aug_type,
+                                        True),
             prepare_target=make_prepare(None, False),
             evaluate_fn=lambda s: evaluate_fn_of(untile_da(s)),
             writer=writer, logger=logger,

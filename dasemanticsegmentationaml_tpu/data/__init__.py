@@ -9,6 +9,7 @@ from .labels import (
     write_gta5_info_json,
 )
 from .datasets import CityScapes, GtaV, SyntheticSegDataset, train_val_split
+from .host_augment import HostAugment
 from .pipeline import (Loader, PipelineStallError, prepare_batch,
                        device_prefetch)
 
@@ -22,6 +23,7 @@ __all__ = [
     "GtaV",
     "SyntheticSegDataset",
     "train_val_split",
+    "HostAugment",
     "Loader",
     "prepare_batch",
     "device_prefetch",

@@ -165,6 +165,11 @@ class Loader:
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
+        # forward to epoch-aware datasets (HostAugment re-keys its
+        # per-sample RNG on (seed, epoch, idx); Subset passes through
+        # via __getattr__)
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def _order(self) -> np.ndarray:
         n = len(self.dataset)

@@ -29,6 +29,13 @@ def str2bool(v):
     raise argparse.ArgumentTypeError("Unsupported value encountered.")
 
 
+def str2bool_auto(v):
+    """Tri-state: True/False like str2bool, or 'auto' -> None."""
+    if v is None or (isinstance(v, str) and v.lower() == "auto"):
+        return None
+    return str2bool(v)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         description="TPU-native semantic segmentation + domain adaptation "
@@ -101,6 +108,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "(reference cityscapes.py:22,65)")
     p.add_argument("--augment_labels", type=str2bool, default=False,
                    help="corrected mode: apply geometric augs to labels too")
+    p.add_argument("--host_augment", type=str2bool_auto, default=None,
+                   help="run --aug_type on the HOST inside the Loader's "
+                        "decode workers (bit-exact Pillow math, the "
+                        "reference's deployment shape) instead of on "
+                        "device. Default auto: host for the geometric "
+                        "menus (H-RP/B-GS-R) on TPU, whose device warps "
+                        "are gather-latency-bound (8.5-11.9 ms/img "
+                        "measured, tools/probe_warp.py); device "
+                        "otherwise. True/False forces.")
     p.add_argument("--sync_bn", type=str2bool, default=True,
                    help="global-batch BN (False = per-replica, "
                         "DataParallel-faithful)")
