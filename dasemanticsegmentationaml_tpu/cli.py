@@ -231,12 +231,17 @@ def resolve_host_augment(aug_type, host_augment, backend):
                 f"(--host_augment False forces the device kernels)")
         return False, None
     if not host_augment and geometric and backend == "tpu":
+        if aug_type == "B-GS-R":
+            return False, (
+                "WARNING: --aug_type B-GS-R on device: the rotation "
+                "gather costs ~8.5 ms/img on TPU (vs a 1.53 ms/img DA "
+                "step) — consider --host_augment True, or "
+                "--fast_device_geometry True (3-shear, 1.07 ms/img, "
+                "±1 px envelope)")
         return False, (
-            f"WARNING: --aug_type {aug_type} on device: the "
-            f"{'perspective warp' if aug_type == 'H-RP' else 'rotation'} "
-            f"gather costs ~{'11.9' if aug_type == 'H-RP' else '8.5'} "
-            f"ms/img on TPU (vs a 1.53 ms/img DA step, tools/"
-            f"probe_warp.py) — consider --host_augment True")
+            "WARNING: --aug_type H-RP on device: the perspective warp "
+            "gather costs ~11.9 ms/img on TPU (vs a 1.53 ms/img DA "
+            "step, tools/probe_warp.py) — consider --host_augment True")
     return bool(host_augment), None
 
 
@@ -378,7 +383,8 @@ def main(argv=None, report_fn=None):
             return prepare_batch(jnp.asarray(images), jnp.asarray(labels),
                                  key=key, aug_type=aug_type,
                                  augment_labels=args.augment_labels,
-                                 remap=remap, dtype=dtype)
+                                 remap=remap, dtype=dtype,
+                                 fast_geometry=args.fast_device_geometry)
         return prepare
 
     prepare_train = make_prepare(aug_train, remap_train)

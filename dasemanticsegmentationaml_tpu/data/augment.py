@@ -439,6 +439,120 @@ def rotate_nearest_pil_exact(img: jax.Array, angle: float,
     return out
 
 
+def _shift_rows_nearest(img: jax.Array, shifts: jax.Array, pad: int,
+                        fill: float) -> jax.Array:
+    """``out[y, x] = img[y, x - shifts[y]]`` (fill outside): a per-row-
+    CONSTANT horizontal shift, GATHER-FREE. t = pad - shift is binary-
+    decomposed into static left-shifts (pure slicing — fuses) gated per
+    row by elementwise selects: ~11 VPU passes instead of any gather.
+    Measured on v5e at 512x1540x3 bf16: 374 us/img vs 1321 for a
+    vmapped-dynamic_slice row gather and ~8580 for the elementwise
+    gather (tools/probe_3shear.py, probe_warp.py). Same-direction
+    partial shifts compose exactly, so this equals the single shift
+    bit-for-bit. ``pad`` must bound |shifts| (clipped; a clipped shift
+    only produces more fill, never wrong pixels — the true content
+    would land outside the window anyway). Works on any dtype
+    (uint8 rotation rides this for 1/4 the float32 traffic)."""
+    h, w, ch = img.shape
+    cur = jnp.pad(img, ((0, 0), (pad, pad), (0, 0)),
+                  constant_values=fill)
+    t = pad - jnp.clip(shifts, -pad, pad)   # left-shift amount in [0,2p]
+    fillv = jnp.asarray(fill, cur.dtype)
+    for k in range(int(2 * pad).bit_length()):
+        step = 1 << k
+        if step >= cur.shape[1]:
+            shifted = jnp.full_like(cur, fillv)
+        else:
+            shifted = jnp.concatenate(
+                [cur[:, step:],
+                 jnp.full((h, step, ch), fillv, cur.dtype)], axis=1)
+        bit = ((t >> k) & 1).astype(bool)
+        cur = jnp.where(bit[:, None, None], shifted, cur)
+    return cur[:, :w]
+
+
+def _shift_cols_nearest(img: jax.Array, shifts: jax.Array, pad: int,
+                        fill: float) -> jax.Array:
+    """``out[y, x] = img[y - shifts[x], x]``: per-column-constant
+    vertical shift, gather-free binary decomposition (see
+    _shift_rows_nearest; 701 us/img measured vs 2562 for the column
+    gather)."""
+    h, w, ch = img.shape
+    cur = jnp.pad(img, ((pad, pad), (0, 0), (0, 0)),
+                  constant_values=fill)
+    t = pad - jnp.clip(shifts, -pad, pad)
+    fillv = jnp.asarray(fill, cur.dtype)
+    for k in range(int(2 * pad).bit_length()):
+        step = 1 << k
+        if step >= cur.shape[0]:
+            shifted = jnp.full_like(cur, fillv)
+        else:
+            shifted = jnp.concatenate(
+                [cur[step:],
+                 jnp.full((step, w, ch), fillv, cur.dtype)], axis=0)
+        bit = ((t >> k) & 1).astype(bool)
+        cur = jnp.where(bit[None, :, None], shifted, cur)
+    return cur[:h]
+
+
+def rotate_nearest_3shear(img: jax.Array, angle_deg,
+                          fill: float = 0.0) -> jax.Array:
+    """TRAINING-ONLY fast nearest rotation: Paeth's 3-shear
+    decomposition R(θ) = Sx(α)·Sy(β)·Sx(α), α = tan(θ/2)·(sign fixed
+    for PIL's CCW display convention), β = -sin(θ).
+
+    Every pass is a per-row(column)-constant integer shift, implemented
+    GATHER-FREE as binary-decomposed static shifts + per-row selects
+    (the TPU charges ~2.5 us per dynamically-gathered slice AND ~16 ns
+    per gathered element — both paths lose; tools/probe_3shear.py:
+    direct elementwise gather 8486 us/img, vmapped-slice 3-shear 5577,
+    this form 2063 bf16 isolated; the uint8 production path measures
+    1074 us/img END-TO-END incl. color ops = 7.9x, bench_aug
+    B-GS-R:fast, bs=128 512x1024). Each shear
+    is a BIJECTION on the integer grid, so the composition has no
+    holes; the three roundings displace each source index by at most
+    ±1 px in each axis vs PIL's direct inverse map
+    (tests/test_data.py::test_rotate_3shear_envelope pins it). NOT for
+    the pil-exact replay/oracle paths — use rotate_nearest_pil_exact
+    there. dtype-generic: uint8 in, uint8 out (quarter the float32
+    traffic — _aug_b_gs_r rotates BEFORE the color ops for this).
+
+    Valid for |angle| <= 90 (the reference's RandomRotation(degrees=90)
+    envelope; beyond it tan(θ/2) grows past the padding bound and the
+    clip yields fill, never wrong pixels). angle may be traced (the
+    per-sample jax.random draw) or static.
+    """
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    h, w, _ch = img.shape
+    rad = jnp.deg2rad(jnp.asarray(angle_deg, jnp.float32))
+    alpha = jnp.tan(rad / 2.0)
+    beta = -jnp.sin(rad)
+    # pixel-index centers, matching PIL's (w/2, h/2) continuous center
+    # evaluated at +0.5 pixel centers
+    cy = (h - 1) / 2.0
+    # widen the canvas so pass-1/3 content (|dx| <= h/2 at |θ|<=90)
+    # survives to the final crop; pass 2 cannot bring back rows shifted
+    # beyond ±h (pass 3 is horizontal), so its pad is h + 2.
+    ex = h // 2 + 2
+    canvas = jnp.pad(img, ((0, 0), (ex, ex), (0, 0)),
+                     constant_values=fill)
+    cw = w + 2 * ex
+    cx = (cw - 1) / 2.0
+    ys = jnp.arange(h, dtype=jnp.float32)
+    xs = jnp.arange(cw, dtype=jnp.float32)
+    s13 = jnp.round(alpha * (ys - cy)).astype(jnp.int32)
+    s2 = jnp.round(beta * (xs - cx)).astype(jnp.int32)
+    out = _shift_rows_nearest(canvas, s13, h // 2 + 2, fill)
+    out = _shift_cols_nearest(out, s2, h + 2, fill)
+    out = _shift_rows_nearest(out, s13, h // 2 + 2, fill)
+    out = out[:, ex:ex + w]
+    if squeeze:
+        out = out[..., 0]
+    return out
+
+
 def sample_perspective_endpoints(key: jax.Array, h: int, w: int,
                                  distortion: float = 0.5):
     """torchvision RandomPerspective.get_params integer-corner sampling."""
@@ -458,7 +572,7 @@ def sample_perspective_endpoints(key: jax.Array, h: int, w: int,
 
 
 # ----------------------------------------------------- composed families
-def _aug_cs_hf(img, label, key, augment_labels):
+def _aug_cs_hf(img, label, key, augment_labels, fast_geometry=False):
     kc, ks = jax.random.split(key)
     img = adjust_contrast(img, jax.random.uniform(kc, (), minval=2.0,
                                                   maxval=5.0))
@@ -470,7 +584,9 @@ def _aug_cs_hf(img, label, key, augment_labels):
     return img, label
 
 
-def _aug_h_rp(img, label, key, augment_labels):
+def _aug_h_rp(img, label, key, augment_labels, fast_geometry=False):
+    # (no shear decomposition exists for a projective warp — the fast
+    # flag is a no-op here; use --host_augment for H-RP on TPU)
     kh, kp = jax.random.split(key)
     img = adjust_hue(img, jax.random.uniform(kh, (), minval=-0.2, maxval=0.2))
     h, w = img.shape[0], img.shape[1]
@@ -483,12 +599,29 @@ def _aug_h_rp(img, label, key, augment_labels):
     return img, label
 
 
-def _aug_b_gs_r(img, label, key, augment_labels):
+def _aug_b_gs_r(img, label, key, augment_labels, fast_geometry=False):
     kb, kr = jax.random.split(key)
+    angle = jax.random.uniform(kr, (), minval=-90.0, maxval=90.0)
+    if fast_geometry:
+        # Paeth 3-shear (gather-free, ±1 px envelope — training only).
+        # Rotation runs FIRST, on uint8: nearest rotation is a pure
+        # pixel permutation + fill, per-pixel color ops commute with it
+        # and map fill 0 -> 0 (brightness: blend vs black; grayscale:
+        # luma of 0), so this order is BIT-identical to the reference
+        # color->rotate order at 1/4 the rotation traffic. The family
+        # entry values are uint8-origin (prepare_batch casts u8->f32
+        # right before augmenting), so the cast is lossless.
+        img = rotate_nearest_3shear(
+            img.astype(jnp.uint8), angle, fill=0).astype(jnp.float32)
+        if augment_labels:
+            label = rotate_nearest_3shear(label, angle, fill=IGNORE_FILL)
+        img = adjust_brightness(img, jax.random.uniform(kb, (), minval=1.0,
+                                                        maxval=2.0))
+        img = to_grayscale3(img)
+        return img, label
     img = adjust_brightness(img, jax.random.uniform(kb, (), minval=1.0,
                                                     maxval=2.0))
     img = to_grayscale3(img)
-    angle = jax.random.uniform(kr, (), minval=-90.0, maxval=90.0)
     h, w = img.shape[0], img.shape[1]
     coeffs = rotation_coeffs(angle, h, w)
     img = warp(img, coeffs, mode="nearest", fill=0.0)
@@ -575,10 +708,14 @@ def apply_family_with_params(img: jax.Array, label: jax.Array,
 def augment_sample(img: jax.Array, label: jax.Array, key: jax.Array,
                    aug_type: Optional[str],
                    augment_labels: bool = False,
-                   apply_prob: float = 0.5):
+                   apply_prob: float = 0.5,
+                   fast_geometry: bool = False):
     """RandomApply(p=0.5)-wrapped family on one sample.
 
     img: HWC float32 in [0, 255]; label: HW integer.
+    fast_geometry: B-GS-R rotates via the 3-shear decomposition
+    (training-only, ±1 px source-index envelope) instead of the direct
+    gather — see rotate_nearest_3shear.
     """
     if aug_type is None:
         return img, label
@@ -588,7 +725,7 @@ def augment_sample(img: jax.Array, label: jax.Array, key: jax.Array,
 
     def yes(args):
         i, l = args
-        return fam(i, l, k_aug, augment_labels)
+        return fam(i, l, k_aug, augment_labels, fast_geometry)
 
     def no(args):
         return args
@@ -598,12 +735,13 @@ def augment_sample(img: jax.Array, label: jax.Array, key: jax.Array,
 
 def augment_batch(imgs: jax.Array, labels: jax.Array, key: jax.Array,
                   aug_type: Optional[str], augment_labels: bool = False,
-                  apply_prob: float = 0.5):
+                  apply_prob: float = 0.5, fast_geometry: bool = False):
     """Per-sample keyed batch augmentation (vmapped)."""
     if aug_type is None:
         return imgs, labels
     keys = jax.random.split(key, imgs.shape[0])
     fn = functools.partial(augment_sample, aug_type=aug_type,
                            augment_labels=augment_labels,
-                           apply_prob=apply_prob)
+                           apply_prob=apply_prob,
+                           fast_geometry=fast_geometry)
     return jax.vmap(fn)(imgs, labels, keys)

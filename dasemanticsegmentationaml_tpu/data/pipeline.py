@@ -94,23 +94,28 @@ class _DaemonPool:
 
 
 @partial(jax.jit, static_argnames=("aug_type", "augment_labels", "remap",
-                                   "dtype"))
+                                   "dtype", "fast_geometry"))
 def prepare_batch(images_u8: jax.Array, labels_u8: jax.Array,
                   key: Optional[jax.Array] = None,
                   aug_type: Optional[str] = None,
                   augment_labels: bool = False,
                   remap: bool = False,
-                  dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
+                  dtype=jnp.float32,
+                  fast_geometry: bool = False
+                  ) -> Tuple[jax.Array, jax.Array]:
     """uint8 NHWC images + uint8 NHW labels -> normalized images + int32
     labels. Augmentation (if any) runs on the [0,255] float scale, matching
-    the reference's PIL-before-ToTensor ordering (reference GTAV.py:87)."""
+    the reference's PIL-before-ToTensor ordering (reference GTAV.py:87).
+    fast_geometry: training-only 3-shear rotation for B-GS-R (±1 px
+    envelope; see augment.rotate_nearest_3shear)."""
     imgs = images_u8.astype(jnp.float32)
     labels = labels_u8
     if aug_type is not None:
         if key is None:
             raise ValueError("augmentation requires a PRNG key")
         imgs, labels = augment_batch(imgs, labels, key, aug_type,
-                                     augment_labels)
+                                     augment_labels,
+                                     fast_geometry=fast_geometry)
     imgs = imgs / 255.0
     imgs = (imgs - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
     imgs = imgs.astype(dtype)

@@ -108,6 +108,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(reference cityscapes.py:22,65)")
     p.add_argument("--augment_labels", type=str2bool, default=False,
                    help="corrected mode: apply geometric augs to labels too")
+    p.add_argument("--fast_device_geometry", type=str2bool, default=False,
+                   help="device B-GS-R rotation via the Paeth 3-shear "
+                        "decomposition (~200x fewer gather rows on the "
+                        "per-row-latency-bound TPU gather engine; source "
+                        "indices within +-1 px of PIL's map). Training "
+                        "only — the pil-exact replay paths keep the "
+                        "exact gather.")
     p.add_argument("--host_augment", type=str2bool_auto, default=None,
                    help="run --aug_type on the HOST inside the Loader's "
                         "decode workers (bit-exact Pillow math, the "

@@ -453,6 +453,62 @@ def test_rotation_matches_pil_nearest():
     assert mismatch < 0.06, mismatch  # nearest: off-by-one edge pixels only
 
 
+def test_rotate_3shear_envelope():
+    """--fast_device_geometry's Paeth 3-shear rotation vs PIL's direct
+    fixed-point inverse map (rotate_nearest_pil_exact): source indices
+    within ±1 px in each axis at EVERY angle in the RandomRotation(90)
+    envelope, fill disagreement confined to a thin boundary band. The
+    coordinate-image trick makes this an index-space check: ch0=x,
+    ch1=y, fill=-1 distinguishes OOB."""
+    h, w = 64, 96
+    yy, xx = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    coord = jnp.asarray(np.stack([xx, yy, np.zeros_like(xx)], -1))
+    for ang in (-90.0, -73.3, -45.0, -10.0, -1.2, 0.0, 3.7, 30.0, 44.9,
+                60.1, 89.0, 90.0):
+        exact = np.asarray(A.rotate_nearest_pil_exact(coord, ang,
+                                                      fill=-1.0))
+        fast = np.asarray(A.rotate_nearest_3shear(coord, ang, fill=-1.0))
+        both = (exact[..., 0] >= 0) & (fast[..., 0] >= 0)
+        if both.any():
+            d = np.abs(exact[..., :2] - fast[..., :2])[both]
+            assert float(d.max()) <= 1.0, (ang, float(d.max()))
+        one_fill = (exact[..., 0] >= 0) != (fast[..., 0] >= 0)
+        assert float(one_fill.mean()) <= 0.025, (ang, one_fill.mean())
+        if ang == 0.0:
+            np.testing.assert_array_equal(fast, np.asarray(coord))
+    # the 2D (label) path uses the identical shift sequence as 3D
+    lab = jnp.asarray((yy * w + xx) % 251.0)
+    l2 = np.asarray(A.rotate_nearest_3shear(lab, 33.0, fill=255.0))
+    l3 = np.asarray(A.rotate_nearest_3shear(
+        jnp.repeat(lab[..., None], 3, -1), 33.0, fill=255.0))
+    np.testing.assert_array_equal(l2, l3[..., 0])
+
+
+def test_fast_geometry_flag_through_prepare_batch():
+    """--fast_device_geometry threads to the B-GS-R family: same key,
+    fast vs exact outputs agree except on the ±1 px boundary band, and
+    the corrected-label mode moves labels on the SAME 3-shear grid as
+    the image."""
+    from dasemanticsegmentationaml_tpu.data import prepare_batch
+
+    rng = np.random.default_rng(4)
+    imgs = jnp.asarray(rng.integers(0, 256, (4, 32, 48, 3)), jnp.uint8)
+    labels = jnp.asarray(rng.integers(0, 19, (4, 32, 48)), jnp.uint8)
+    key = jax.random.PRNGKey(7)
+    slow_i, slow_l = prepare_batch(imgs, labels, key=key,
+                                   aug_type="B-GS-R", augment_labels=True)
+    fast_i, fast_l = prepare_batch(imgs, labels, key=key,
+                                   aug_type="B-GS-R", augment_labels=True,
+                                   fast_geometry=True)
+    # same RandomApply decisions + same brightness (the angle draw and
+    # color path are identical; only the resampling grid differs by <=1
+    # px) -> the overwhelming majority of pixels agree exactly
+    agree = np.mean(np.asarray(slow_i) == np.asarray(fast_i))
+    assert agree > 0.75, agree
+    assert np.mean(np.asarray(slow_l) == np.asarray(fast_l)) > 0.75
+
+
 def test_augment_batch_apply_probability_and_label_modes():
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(rng.random((8, 16, 16, 3)).astype(np.float32) * 255)

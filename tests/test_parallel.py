@@ -181,11 +181,14 @@ def test_sharded_combined_da_step_matches_single_device(setup):
 
     model, variables, opt, images, labels = setup
     mesh = create_mesh(8)
+    # single source of truth for D's LR: the optimizer, the step calls,
+    # and the sign-flip bound below all scale with it (ADVICE r4)
+    LR_D = 1e-3
     d_model = build_discriminator(19, depthwise=False, batch_norm=False)
     d_vars = d_model.init(jax.random.PRNGKey(2), jnp.zeros((1, H, W, 19)))
     g_opt = make_optimizer("sgd", 0.01, momentum=0.9, weight_decay=5e-4,
                            mask=unused_param_mask(variables["params"]))
-    d_opt = make_optimizer("adam", 1e-3, betas=(0.9, 0.99))
+    d_opt = make_optimizer("adam", LR_D, betas=(0.9, 0.99))
 
     rng = np.random.default_rng(13)
     tgt = rng.standard_normal((8, H, W, 3)).astype(np.float32)
@@ -198,14 +201,14 @@ def test_sharded_combined_da_step_matches_single_device(setup):
     imgs, labs, tgts = shard_batch(
         (images, labels, jnp.asarray(tgt)), mesh)
     g_sh, d_sh, m_sh = sharded(g_state, d_state, imgs, labs, tgts,
-                               0.01, 1e-3)
+                               0.01, LR_D)
 
     local = make_da_step(model, d_model, g_opt, d_opt, lambda_adv=1e-3,
                          step_mode="combined", d_head=2, donate=False)
     g_lo, d_lo, m_lo = local(create_train_state(variables, g_opt),
                              create_train_state(d_vars, d_opt),
                              jnp.asarray(images), jnp.asarray(labels),
-                             jnp.asarray(tgt), 0.01, 1e-3)
+                             jnp.asarray(tgt), 0.01, LR_D)
 
     for k in ("loss", "loss_D1", "loss_G", "loss_adv"):
         np.testing.assert_allclose(float(m_sh[k]), float(m_lo[k]),
@@ -216,28 +219,46 @@ def test_sharded_combined_da_step_matches_single_device(setup):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
         g_sh.params, g_lo.params)
-    # D (Adam, step 1): the update is ~sign(g)*lr_D wherever v==0 --
-    # m/(sqrt(v)+eps) saturates for ANY nonzero g -- so SPMD psum
-    # reduction order flipping the sign of a near-zero gradient element
-    # shows up as a full 2*lr_D param diff. Allow a tiny budget of such
-    # sign-flip-bounded mismatches (observed: ~13/19456 elements of
-    # D.conv1 at |diff| <= 2*1e-3 after an unrelated loss-path numerics
-    # change re-rolled the fp dice); everything else stays strict.
-    lr_d = 1e-3
+    # D (Adam, step 1): bias correction makes the step-1 update exactly
+    # lr_D * g/(|g| + ~eps) -- bounded by lr_D and fully saturated
+    # (+-lr_D) for any |g| >> eps. SPMD psum reduction order re-rolls
+    # near-zero gradients, so a few elements land anywhere in
+    # [0, 2*lr_D] apart (observed spread 1.7e-5..2.0e-3; 770 elements
+    # over ALL of D's 2.78M params = 0.028% -- the r4 note's "13" was
+    # D.conv1 alone). Tightened per VERDICT r4 weak #4 / ADVICE:
+    # instead of only bounding the magnitude, assert the Adam step-1
+    # STRUCTURE -- each run moved <= ~lr_D from the INITIAL param, any
+    # diff beyond one step's reach must be an opposite-direction pair,
+    # and the TOTAL mismatch count stays near the observed baseline. A
+    # systematic sharded-vs-local divergence would violate the step
+    # bound (magnitude) or the count (extent).
+    total_bad = [0]
+    total_n = [0]
 
-    def d_close(a, b):
-        a, b = np.asarray(a), np.asarray(b)
+    def d_close(p0, a, b):
+        p0, a, b = np.asarray(p0), np.asarray(a), np.asarray(b)
         diff = np.abs(a - b)
         bad = diff > (1e-5 + 1e-4 * np.abs(b))
+        total_n[0] += bad.size
         if bad.any():
-            assert float(diff[bad].max()) <= 2.05 * lr_d, (
-                "sharded-vs-local D diff exceeds the Adam step-1 "
-                f"sign-flip bound: {float(diff[bad].max())}")
-            assert float(bad.mean()) <= 2e-3, (
-                f"too many sign-flipped D elements: {int(bad.sum())}"
-                f"/{bad.size}")
+            for run in (a, b):
+                step = np.abs(run - p0)[bad]
+                assert float(step.max()) <= 1.05 * LR_D, (
+                    "a mismatched D element moved further than one Adam "
+                    f"step-1 update allows: {float(step.max())}")
+            flip = bad & (diff > 1.05 * LR_D)
+            if flip.any():
+                assert (np.sign(a - p0)[flip]
+                        != np.sign(b - p0)[flip]).all(), (
+                    "diff beyond one step's reach without opposite-"
+                    "direction updates: not reduction-order noise")
+            total_bad[0] += int(bad.sum())
 
-    jax.tree.map(d_close, d_sh.params, d_lo.params)
+    jax.tree.map(d_close, d_vars["params"], d_sh.params, d_lo.params)
+    assert total_bad[0] <= 2048 and total_bad[0] <= 1e-3 * total_n[0], (
+        f"sign-flip mismatch count blew up: {total_bad[0]}/{total_n[0]} "
+        "elements (observed baseline 770/2.78M = 0.028%) — a real "
+        "divergence may be hiding under the tolerance")
 
 
 def test_check_spatial_height():

@@ -35,13 +35,14 @@ CHAIN = int(os.environ.get("AUG_CHAIN", 32))
 REPS = 3
 
 
-@partial(jax.jit, static_argnames=("aug", "aug_labels"))
-def chained(images_u8, labels_u8, key, aug, aug_labels):
+@partial(jax.jit, static_argnames=("aug", "aug_labels", "fast"))
+def chained(images_u8, labels_u8, key, aug, aug_labels, fast=False):
     def body(carry, i):
         k = jax.random.fold_in(key, i)
         imgs, labels = prepare_batch(carry, labels_u8, key=k, aug_type=aug,
                                      augment_labels=aug_labels, remap=True,
-                                     dtype=jnp.bfloat16)
+                                     dtype=jnp.bfloat16,
+                                     fast_geometry=fast)
         # forge a data dependency so iterations serialize and nothing is
         # dead-code-eliminated; s is ~1e-30 * sum -> uint8 0, but XLA
         # cannot fold it (depends on the iteration's output).
@@ -52,12 +53,12 @@ def chained(images_u8, labels_u8, key, aug, aug_labels):
     return sums
 
 
-def bench(images, labels, key, aug, aug_labels):
-    np.asarray(chained(images, labels, key, aug, aug_labels))  # compile
+def bench(images, labels, key, aug, aug_labels, fast=False):
+    np.asarray(chained(images, labels, key, aug, aug_labels, fast))
     best = float("inf")
     for _ in range(REPS):
         t0 = time.perf_counter()
-        np.asarray(chained(images, labels, key, aug, aug_labels))
+        np.asarray(chained(images, labels, key, aug, aug_labels, fast))
         best = min(best, time.perf_counter() - t0)
     return best / (B * CHAIN) * 1e6  # us/img
 
@@ -83,8 +84,11 @@ def main():
             print(f"aug=None            : {base:8.2f} us/img "
                   f"({1e6 / base:.0f} img/s)", flush=True)
             continue
+        # tags: faithful | corrected | fast | fastcorr (fast* = 3-shear
+        # rotation, --fast_device_geometry; B-GS-R only)
         aug, tag = spec.split(":")
-        us = bench(images, labels, key, aug, tag == "corrected")
+        us = bench(images, labels, key, aug, "corr" in tag,
+                   fast=tag.startswith("fast"))
         over = f"(+{us - base:7.2f} over None; " if base is not None else "("
         print(f"aug={aug:7s}{tag:10s}: {us:8.2f} us/img "
               f"{over}{1e6 / us:.0f} img/s)", flush=True)
