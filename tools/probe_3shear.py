@@ -1,15 +1,25 @@
 """Attribute the 3-shear rotation cost per pass (real chip).
 
-bench_aug measured rotate_nearest_3shear at 8252 us/img — barely below
-the direct gather's 8486 — far from the ~2.5k-row estimate. This probe
-times each shear pass in isolation at the production shape to find
-which lowering is elementwise:
+The first 3-shear implementation (vmapped dynamic_slice per row) hit
+8252 us/img in bench_aug — barely below the direct gather's 8486 and
+far from the whole-row-gather estimate. This probe timed each pass in
+isolation and drove the redesign:
 
-  rows   : _shift_rows_nearest (vmapped dynamic_slice over rows)
-  cols   : _shift_cols_nearest (vmapped dynamic_slice over columns)
-  cols_t : transpose -> row shift -> transpose back
-  full   : rotate_nearest_3shear as shipped
-  full_t : 3-shear with the transpose-based column pass
+MEASURED (v5e, 2026-08-21, bs=128 512x1024 bf16, us/img):
+  vmapped dynamic_slice:  rows 1321   cols 2562   cols_t 2565
+                          full 5577   full_t 5600
+    -> ~2.5 us PER GATHERED SLICE regardless of axis or transposes;
+       the 'slice gather' path on this stack is ~150x off the
+       per-row-latency floor probe_warp measured for flat takes.
+  binary-shift (static shifts + per-row selects, NO gather):
+                          rows 374    cols 701    full 2063
+    -> adopted into production augment.py; with the uint8
+       rotate-first ordering the end-to-end B-GS-R fast menu is
+       1074 us/img (bench_aug), 7.9x the direct gather.
+
+Variants here: rows/cols/cols_t/full_t keep the ORIGINAL slice-gather
+formulation (local copies); rows_bin/cols_bin/full_bin are the binary
+form; 'full' is production rotate_nearest_3shear (now binary).
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/probe_3shear.py
        [PROBE_VARIANTS=rows,cols ...] results flush incrementally.
@@ -23,7 +33,34 @@ import jax.numpy as jnp
 import numpy as np
 
 from dasemanticsegmentationaml_tpu.data.augment import (
-    _shift_cols_nearest, _shift_rows_nearest, rotate_nearest_3shear)
+    rotate_nearest_3shear)
+
+
+# The ORIGINAL vmapped-dynamic_slice formulation, kept here for
+# comparison: production augment.py switched to the binary-shift form
+# after this probe measured ~2.5 us per gathered slice (see MEASURED).
+def _shift_rows_nearest(img, shifts, pad, fill):
+    h, w, ch = img.shape
+    padded = jnp.pad(img, ((0, 0), (pad, pad), (0, 0)),
+                     constant_values=fill)
+    s = jnp.clip(shifts, -pad, pad)
+
+    def row(r, sh):
+        return jax.lax.dynamic_slice(r, (pad - sh, 0), (w, ch))
+
+    return jax.vmap(row)(padded, s)
+
+
+def _shift_cols_nearest(img, shifts, pad, fill):
+    h, w, ch = img.shape
+    padded = jnp.pad(img, ((pad, pad), (0, 0), (0, 0)),
+                     constant_values=fill)
+    s = jnp.clip(shifts, -pad, pad)
+
+    def col(c, sh):
+        return jax.lax.dynamic_slice(c, (pad - sh, 0), (h, ch))
+
+    return jax.vmap(col, in_axes=(1, 0), out_axes=1)(padded, s)
 
 H = int(os.environ.get("PROBE_H", 512))
 W = int(os.environ.get("PROBE_W", 1024))
