@@ -52,7 +52,11 @@ CHAIN = int(os.environ.get("BENCH_CHAIN", "32"))
 # the bf16 program is compilable at all.
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1260"))
 BF16_DEADLINE_S = float(os.environ.get("BENCH_BF16_DEADLINE_S", "660"))
-INT8_DEADLINE_S = float(os.environ.get("BENCH_INT8_DEADLINE_S", "480"))
+# warm int8 measured 544 s end-to-end on this stack (backend init +
+# calibration jit + quantized jit; each remote-cache HIT still takes
+# minutes to materialize) — 700 gives ~2.5 min headroom while staying
+# inside BUDGET_S after a warm bf16 phase
+INT8_DEADLINE_S = float(os.environ.get("BENCH_INT8_DEADLINE_S", "700"))
 _CHILD_MARK = "BENCH_CHILD_RESULT "
 
 
