@@ -176,16 +176,26 @@ class HostAugment:
         return len(self.dataset)
 
     def __getitem__(self, idx: int):
+        from . import native_augment as na
+
         img, label = self.dataset[idx]
         rng = rng_for(self.seed, self._epoch, idx)
         params = sample_params(self.host_aug_type, rng,
                                img.shape[0], img.shape[1],
                                self.apply_prob)
-        img = ape.apply_family(np.ascontiguousarray(img),
-                               self.host_aug_type, params)
+        # native C++ ops when the library is built (bit-identical,
+        # ~5-20x — tests/test_native_augment.py pins equality), numpy
+        # otherwise
+        out = na.apply_family(img, self.host_aug_type, params)
+        img = out if out is not None else ape.apply_family(
+            np.ascontiguousarray(img), self.host_aug_type, params)
         if self.augment_labels:
-            label = apply_family_label(np.asarray(label),
-                                       self.host_aug_type, params)
+            label = np.asarray(label)
+            lout = (na.apply_family_label(label, self.host_aug_type,
+                                          params, IGNORE_FILL)
+                    if label.dtype == np.uint8 else None)
+            label = lout if lout is not None else apply_family_label(
+                label, self.host_aug_type, params)
         return img, label
 
     @property

@@ -32,14 +32,21 @@ N = int(os.environ.get("HAUG_N", 12))
 MENUS = ("CS-HF", "H-RP", "B-GS-R")
 
 
-def bench_menu(menu, imgs, labs, labels_too):
+def bench_menu(menu, imgs, labs, labels_too, native=False):
+    from dasemanticsegmentationaml_tpu.data import native_augment as na
+
     params = [ha.sample_params(menu, ha.rng_for(0, 0, i), H, W,
                                apply_prob=1.0) for i in range(N)]
     t0 = time.perf_counter()
     for i in range(N):
-        px.apply_family(imgs[i], menu, params[i])
-        if labels_too:
-            ha.apply_family_label(labs[i], menu, params[i])
+        if native:
+            na.apply_family(imgs[i], menu, params[i])
+            if labels_too:
+                na.apply_family_label(labs[i], menu, params[i])
+        else:
+            px.apply_family(imgs[i], menu, params[i])
+            if labels_too:
+                ha.apply_family_label(labs[i], menu, params[i])
     return (time.perf_counter() - t0) / N * 1e3  # ms/img
 
 
@@ -49,6 +56,8 @@ def main():
             for _ in range(N)]
     labs = [rng.integers(0, 35, (H, W), dtype=np.uint8) for _ in range(N)]
     print(f"{W}x{H}, {N} images/menu, single core")
+    from dasemanticsegmentationaml_tpu.data import native_augment as na
+
     for menu in MENUS:
         faithful = bench_menu(menu, imgs, labs, False)
         corrected = bench_menu(menu, imgs, labs, True)
@@ -56,6 +65,13 @@ def main():
               f"({1e3 / faithful:6.1f} img/s/core)   "
               f"corrected {corrected:7.2f} ms/img "
               f"({1e3 / corrected:6.1f} img/s/core)", flush=True)
+        if na.available():
+            nf = bench_menu(menu, imgs, labs, False, native=True)
+            nc = bench_menu(menu, imgs, labs, True, native=True)
+            print(f"{menu:7s}: NATIVE   {nf:7.2f} ms/img "
+                  f"({1e3 / nf:6.1f} img/s/core)   "
+                  f"corrected {nc:7.2f} ms/img "
+                  f"({1e3 / nc:6.1f} img/s/core)", flush=True)
 
     # wrapper end-to-end (sampling + apply + RandomApply p=0.5 mix)
     base = SyntheticSegDataset(length=N, height=H, width=W,
