@@ -223,6 +223,12 @@ def _child_main(mode: str) -> None:
                         int8=(mode == "int8"))
     print(f"{mode} bs={bs}: {fps:.1f} img/s", file=sys.stderr)
     out = {"fps": fps, "batch_size": bs, "backend": backend, "mode": mode}
+    # Emit the primary result IMMEDIATELY: the opt-in secondary metrics
+    # below compile further full-model programs and can blow the child's
+    # deadline — the parent parses the LAST mark line from whatever
+    # stdout the (possibly killed) child produced, so the forward record
+    # survives a slow/killed secondary phase.
+    print(_CHILD_MARK + json.dumps(out), flush=True)
     # Secondary metrics ride the bf16 child (opt-in, manual runs only).
     if mode == "bf16" and backend == "tpu":
         if os.environ.get("BENCH_TRAIN") == "1":
@@ -235,7 +241,8 @@ def _child_main(mode: str) -> None:
                 out["da_fps"] = bench_da_step()
             except Exception:
                 traceback.print_exc(file=sys.stderr)
-    print(_CHILD_MARK + json.dumps(out), flush=True)
+        if "train_fps" in out or "da_fps" in out:
+            print(_CHILD_MARK + json.dumps(out), flush=True)
 
 
 def _run_child(mode: str, timeout_s: float):
@@ -249,17 +256,20 @@ def _run_child(mode: str, timeout_s: float):
                             env=env, stdout=subprocess.PIPE,
                             stderr=sys.stderr,
                             cwd=os.path.dirname(os.path.abspath(__file__)))
+    out = b""
     try:
         out, _ = proc.communicate(timeout=timeout_s)
     except subprocess.TimeoutExpired:
         proc.kill()   # SIGKILL to this PID only (never pattern-kill)
         try:
-            proc.communicate(timeout=30)
+            # the post-kill drain returns whatever the child already
+            # wrote — a mark line printed before a slow/killed phase
+            # (e.g. the opt-in secondary metrics) is still recovered
+            out, _ = proc.communicate(timeout=30)
         except subprocess.TimeoutExpired:
             pass
         print(f"bench child '{mode}' exceeded {timeout_s:.0f}s deadline; "
               "killed", file=sys.stderr)
-        return None
     for line in reversed(out.decode(errors="replace").splitlines()):
         if line.startswith(_CHILD_MARK):
             try:

@@ -207,7 +207,8 @@ def build_mesh(args):
                                args.spatial_devices)
 
 
-def resolve_host_augment(aug_type, host_augment, backend):
+def resolve_host_augment(aug_type, host_augment, backend,
+                         fast_geometry=False, host_cores=None):
     """Where does --aug_type run? Returns (host: bool, note: str|None).
 
     The reference augments on the host in DataLoader workers (reference
@@ -216,21 +217,49 @@ def resolve_host_augment(aug_type, host_augment, backend):
     TPU's serial gather engine — measured 11.9 ms/img (H-RP) / 8.5
     (B-GS-R) vs a 1.53 ms/img DA train step (tools/probe_warp.py,
     tools/bench_aug.py) — so 'auto' (--host_augment unset) routes them
-    to the host path (data/host_augment.py, bit-exact Pillow math) on
-    TPU backends, and an EXPLICIT device request still gets the
-    measured-cost warning instead of a silent 6-8x slowdown."""
+    to the host path (data/host_augment.py, bit-exact Pillow/native-C++
+    math) on TPU backends, EXCEPT when:
+      * --fast_device_geometry already covers it (B-GS-R's 3-shear,
+        1.07 ms/img — the explicitly-requested device path wins), or
+      * the host is too small to beat the device warp (native costs
+        ~29-39 ms/img/core p=0.5, tools/bench_host_aug.py, so <4 cores
+        would CAP the loader below the device path it replaced).
+    An EXPLICIT device request still gets the measured-cost warning
+    instead of a silent 6-8x slowdown."""
     if aug_type is None:
         return False, None
     geometric = aug_type in ("H-RP", "B-GS-R")
+    if not (geometric and backend == "tpu"):
+        return bool(host_augment), None
+    if fast_geometry and aug_type == "B-GS-R":
+        # the 3-shear device rotation was explicitly requested and is
+        # cheap (1.07 ms/img) — auto never overrides it to host
+        if host_augment:
+            return True, ("--host_augment True overrides "
+                          "--fast_device_geometry for B-GS-R (the menu "
+                          "runs on the host; the device flag is inert)")
+        return False, None
     if host_augment is None:  # auto
-        if geometric and backend == "tpu":
+        cores = host_cores if host_cores is not None \
+            else (os.cpu_count() or 1)
+        if cores >= 4:
             return True, (
                 f"--aug_type {aug_type}: geometric menus are gather-"
                 f"latency-bound on TPU (8.5-11.9 ms/img measured, "
                 f"tools/probe_warp.py) — augmenting on the HOST "
-                f"(--host_augment False forces the device kernels)")
-        return False, None
-    if not host_augment and geometric and backend == "tpu":
+                f"({cores} cores; --host_augment False forces the "
+                f"device kernels)")
+        # few-core host: the host path would cap the loader BELOW the
+        # device warp (~29-39 ms/img/core vs 8.5-11.9 ms on device)
+        extra = (" or --fast_device_geometry True (3-shear, 1.07 "
+                 "ms/img, ±1 px envelope)" if aug_type == "B-GS-R"
+                 else "")
+        return False, (
+            f"--aug_type {aug_type}: staying on DEVICE — only {cores} "
+            f"host core(s), too few to beat the device warp "
+            f"(~29-39 ms/img/core on host vs 8.5-11.9 ms on device); "
+            f"on a bigger host use --host_augment True{extra}")
+    if not host_augment:
         if aug_type == "B-GS-R":
             return False, (
                 "WARNING: --aug_type B-GS-R on device: the rotation "
@@ -242,7 +271,7 @@ def resolve_host_augment(aug_type, host_augment, backend):
             "WARNING: --aug_type H-RP on device: the perspective warp "
             "gather costs ~11.9 ms/img on TPU (vs a 1.53 ms/img DA "
             "step, tools/probe_warp.py) — consider --host_augment True")
-    return bool(host_augment), None
+    return True, None
 
 
 def main(argv=None, report_fn=None):
@@ -294,7 +323,8 @@ def main(argv=None, report_fn=None):
                              wait_for_publish=3600.0 if proc_n > 1 else 0.0)
 
     host_aug, host_aug_note = resolve_host_augment(
-        args.aug_type, args.host_augment, jax.default_backend())
+        args.aug_type, args.host_augment, jax.default_backend(),
+        fast_geometry=args.fast_device_geometry)
     if host_aug_note and proc_id == 0:
         print(host_aug_note)
 

@@ -133,6 +133,19 @@ def pytest_configure(config):
 
 
 def pytest_collection_modifyitems(config, items):
+    seen = set()
     for item in items:
-        if getattr(item, "originalname", item.name) in SLOW_TESTS:
+        name = getattr(item, "originalname", item.name)
+        if name in SLOW_TESTS:
+            seen.add(name)
             item.add_marker(pytest.mark.slow)
+    # rot guard: on a full-suite collection, every listed name must
+    # still exist — a renamed/deleted slow test would otherwise slide
+    # silently into the quick tier (single-file runs are exempt; they
+    # legitimately collect only a subset)
+    unmatched = SLOW_TESTS - seen
+    if unmatched and len(items) >= 200:
+        raise pytest.UsageError(
+            f"tests/conftest.py SLOW_TESTS names no collected test: "
+            f"{sorted(unmatched)} — renamed? Update the list (see the "
+            f"regeneration note above it).")

@@ -226,10 +226,32 @@ def test_da_step_losses_bit_identical_host_vs_device_replay():
 def test_resolve_host_augment_routing():
     from dasemanticsegmentationaml_tpu.cli import resolve_host_augment
 
-    # auto: geometric menus on TPU -> host (with a note)
+    # auto: geometric menus on TPU -> host (with a note) when the host
+    # has enough cores to beat the device warp
     for menu in ("H-RP", "B-GS-R"):
-        host, note = resolve_host_augment(menu, None, "tpu")
-        assert host and note and "host" in note.lower()
+        host, note = resolve_host_augment(menu, None, "tpu",
+                                          host_cores=8)
+        assert host and note and "HOST" in note
+    # auto on a FEW-CORE host: the host path would cap the loader below
+    # the device warp — stay on device, say why
+    host, note = resolve_host_augment("H-RP", None, "tpu", host_cores=2)
+    assert not host and note and "DEVICE" in note
+    host, note = resolve_host_augment("B-GS-R", None, "tpu",
+                                      host_cores=1)
+    assert not host and "fast_device_geometry" in note
+    # --fast_device_geometry True: the explicitly-requested 3-shear
+    # device path wins over auto host routing (review finding: the flag
+    # was silently dead on TPU)
+    assert resolve_host_augment("B-GS-R", None, "tpu",
+                                fast_geometry=True) == (False, None)
+    # ...but an explicit --host_augment True still overrides it, loudly
+    host, note = resolve_host_augment("B-GS-R", True, "tpu",
+                                      fast_geometry=True)
+    assert host and note and "inert" in note
+    # fast_geometry is B-GS-R-only; H-RP auto-routing is unaffected
+    host, _ = resolve_host_augment("H-RP", None, "tpu",
+                                   fast_geometry=True, host_cores=8)
+    assert host
     # auto: CS-HF stays on device everywhere; geometric on CPU too
     assert resolve_host_augment("CS-HF", None, "tpu") == (False, None)
     assert resolve_host_augment("B-GS-R", None, "cpu") == (False, None)
