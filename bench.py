@@ -229,6 +229,8 @@ def _child_main(mode: str) -> None:
     # stdout the (possibly killed) child produced, so the forward record
     # survives a slow/killed secondary phase.
     print(_CHILD_MARK + json.dumps(out), flush=True)
+    if os.environ.get("BENCH_FAKE_HANG_AFTER") == mode:
+        time.sleep(10 ** 6)  # test hook: stall AFTER the mark line
     # Secondary metrics ride the bf16 child (opt-in, manual runs only).
     if mode == "bf16" and backend == "tpu":
         if os.environ.get("BENCH_TRAIN") == "1":

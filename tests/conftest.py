@@ -91,6 +91,7 @@ SLOW_TESTS = {
     "test_cli_supervised_cityscapes",
     "test_bench_functions_smoke",
     "test_bench_survives_int8_compile_stall",
+    "test_bench_recovers_mark_from_killed_child",
     "test_iter_size_gradient_accumulation",
     "test_da_training_equivalence",
     "test_trial_main_runs_da",

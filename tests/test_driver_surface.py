@@ -92,6 +92,18 @@ def test_bench_survives_int8_compile_stall():
     assert elapsed < 300, elapsed
 
 
+def test_bench_recovers_mark_from_killed_child():
+    """Review finding: a child killed AFTER measuring (e.g. a slow
+    opt-in secondary phase) must not lose its already-printed result —
+    the parent drains the killed child's stdout and takes the last mark
+    line."""
+    env = _bench_env(BENCH_FAKE_HANG_AFTER="bf16", BENCH_BUDGET_S="480",
+                     BENCH_BF16_DEADLINE_S="150")
+    rec = _run_bench(env, timeout=600)
+    assert rec["value"] > 0
+    assert rec["dtype"] == "bfloat16"
+
+
 def test_bench_total_outage_still_prints_record():
     """If every measurement child stalls, bench.py must still emit a
     parseable record (explicit infra-failure, value 0) within its own
