@@ -517,6 +517,14 @@ def rotate_nearest_3shear(img: jax.Array, angle_deg,
     there. dtype-generic: uint8 in, uint8 out (quarter the float32
     traffic — _aug_b_gs_r rotates BEFORE the color ops for this).
 
+    Why rotation only (no H-RP analogue): the binary-shift trick is
+    valid ONLY when the shift field is constant along the shifted axis
+    (partial shifts must compose; masks are anchored to output coords).
+    Shears qualify; a homography's Catmull-Smith passes do not, and no
+    composition of generalized shears x+=f(y) / y+=g(x) can be
+    projective (its level sets are a pencil of lines through a point,
+    not a parallel family) — investigated and ruled out in round 5.
+
     Valid for |angle| <= 90 (the reference's RandomRotation(degrees=90)
     envelope; beyond it tan(θ/2) grows past the padding bound and the
     clip yields fill, never wrong pixels). angle may be traced (the
