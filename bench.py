@@ -232,19 +232,21 @@ def _child_main(mode: str) -> None:
     if os.environ.get("BENCH_FAKE_HANG_AFTER") == mode:
         time.sleep(10 ** 6)  # test hook: stall AFTER the mark line
     # Secondary metrics ride the bf16 child (opt-in, manual runs only).
+    # A fresh mark line after EACH one: if the NEXT phase hangs and the
+    # parent kills the child, every completed measurement survives.
     if mode == "bf16" and backend == "tpu":
         if os.environ.get("BENCH_TRAIN") == "1":
             try:
                 out["train_fps"] = bench_train_step()
+                print(_CHILD_MARK + json.dumps(out), flush=True)
             except Exception:
                 traceback.print_exc(file=sys.stderr)
         if os.environ.get("BENCH_DA") == "1":
             try:
                 out["da_fps"] = bench_da_step()
+                print(_CHILD_MARK + json.dumps(out), flush=True)
             except Exception:
                 traceback.print_exc(file=sys.stderr)
-        if "train_fps" in out or "da_fps" in out:
-            print(_CHILD_MARK + json.dumps(out), flush=True)
 
 
 def _run_child(mode: str, timeout_s: float):
@@ -277,7 +279,8 @@ def _run_child(mode: str, timeout_s: float):
             try:
                 return json.loads(line[len(_CHILD_MARK):])
             except json.JSONDecodeError:
-                return None
+                continue  # e.g. a final line truncated by the SIGKILL —
+                # an earlier complete mark line is still a valid record
     print(f"bench child '{mode}' exited rc={proc.returncode} without a "
           "result", file=sys.stderr)
     return None

@@ -240,6 +240,9 @@ def resolve_host_augment(aug_type, host_augment, backend,
                           "runs on the host; the device flag is inert)")
         return False, None
     if host_augment is None:  # auto
+        # callers pass the EFFECTIVE worker parallelism (min of cores
+        # and --num_workers — HostAugment runs inside the Loader's
+        # decode workers, so --num_workers is the real ceiling)
         cores = host_cores if host_cores is not None \
             else (os.cpu_count() or 1)
         if cores >= 4:
@@ -247,18 +250,19 @@ def resolve_host_augment(aug_type, host_augment, backend,
                 f"--aug_type {aug_type}: geometric menus are gather-"
                 f"latency-bound on TPU (8.5-11.9 ms/img measured, "
                 f"tools/probe_warp.py) — augmenting on the HOST "
-                f"({cores} cores; --host_augment False forces the "
-                f"device kernels)")
-        # few-core host: the host path would cap the loader BELOW the
+                f"({cores} effective aug workers; --host_augment False "
+                f"forces the device kernels)")
+        # few-worker host: the host path would cap the loader BELOW the
         # device warp (~29-39 ms/img/core vs 8.5-11.9 ms on device)
         extra = (" or --fast_device_geometry True (3-shear, 1.07 "
                  "ms/img, ±1 px envelope)" if aug_type == "B-GS-R"
                  else "")
         return False, (
             f"--aug_type {aug_type}: staying on DEVICE — only {cores} "
-            f"host core(s), too few to beat the device warp "
+            f"effective aug worker(s) (min of host cores and "
+            f"--num_workers), too few to beat the device warp "
             f"(~29-39 ms/img/core on host vs 8.5-11.9 ms on device); "
-            f"on a bigger host use --host_augment True{extra}")
+            f"with more cores/workers use --host_augment True{extra}")
     if not host_augment:
         if aug_type == "B-GS-R":
             return False, (
@@ -322,9 +326,19 @@ def main(argv=None, report_fn=None):
                              process_id=proc_id,
                              wait_for_publish=3600.0 if proc_n > 1 else 0.0)
 
+    # effective host-aug parallelism: the Loader's worker count, capped
+    # by the machine (single-process). Multi-process runs use the FLAG
+    # value alone: it is identical on every rank, so all ranks resolve
+    # the same routing and trace the same program — a per-rank
+    # os.cpu_count() could diverge on heterogeneous hosts and hang the
+    # multi-controller collectives (round-5 review finding).
+    _workers = max(1, args.num_workers)
+    host_aug_cores = _workers if proc_n > 1 \
+        else min(os.cpu_count() or 1, _workers)
     host_aug, host_aug_note = resolve_host_augment(
         args.aug_type, args.host_augment, jax.default_backend(),
-        fast_geometry=args.fast_device_geometry)
+        fast_geometry=args.fast_device_geometry,
+        host_cores=host_aug_cores)
     if host_aug_note and proc_id == 0:
         print(host_aug_note)
 
