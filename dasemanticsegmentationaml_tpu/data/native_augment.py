@@ -24,6 +24,7 @@ from . import augment_pil_exact as px
 
 _AUG = None
 _AUG_TRIED = False
+_FUSED = False
 
 _BLEND_BRIGHTNESS, _BLEND_CONTRAST, _BLEND_SATURATION = 0, 1, 2
 
@@ -66,6 +67,26 @@ def _load():
         # .so predates augment.cpp — rebuild with `make clean all` to
         # pick the native path up; numpy fallback meanwhile
         _AUG = None
+        return _AUG
+    global _FUSED
+    try:
+        # round-5 single-pass menu fusions; probed separately so a .so
+        # holding only the per-op forms keeps the full native path
+        lib.dseg_aug_cs_hf_fused.restype = ctypes.c_int
+        lib.dseg_aug_cs_hf_fused.argtypes = [u8p, u8p, ctypes.c_int,
+                                             ctypes.c_int, ctypes.c_float,
+                                             ctypes.c_float]
+        lib.dseg_aug_bright_gray1.restype = ctypes.c_int
+        lib.dseg_aug_bright_gray1.argtypes = [u8p, u8p, ctypes.c_int,
+                                              ctypes.c_int, ctypes.c_float]
+        lib.dseg_aug_rotate_gray_rep3.restype = ctypes.c_int
+        lib.dseg_aug_rotate_gray_rep3.argtypes = [
+            u8p, u8p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int]
+        _FUSED = True
+    except AttributeError:
+        _FUSED = False
     return _AUG
 
 
@@ -155,6 +176,11 @@ def apply_family(img: np.ndarray, aug_type: str, params: dict
     if not params.get("applied", True):
         return np.ascontiguousarray(img, dtype=np.uint8).copy()
     if aug_type == "CS-HF":
+        if _FUSED:
+            lib = _load()
+            return _call3(lib.dseg_aug_cs_hf_fused, img,
+                          ctypes.c_float(np.float32(params["contrast"])),
+                          ctypes.c_float(np.float32(params["saturation"])))
         out = _blend(img, _BLEND_CONTRAST, params["contrast"])
         out = _blend(out, _BLEND_SATURATION, params["saturation"])
         return out[:, ::-1].copy()
@@ -164,8 +190,28 @@ def apply_family(img: np.ndarray, aug_type: str, params: dict
                      px.hue_shift_u8(params["hue"]))
         return perspective_bilinear(out, params["coeffs"], fill=0)
     if aug_type == "B-GS-R":
-        out = _blend(img, _BLEND_BRIGHTNESS, params["brightness"])
         lib = _load()
+        if _FUSED:
+            src = np.ascontiguousarray(img, dtype=np.uint8)
+            h, w = src.shape[:2]
+            gray = np.empty((h, w), np.uint8)
+            if lib.dseg_aug_bright_gray1(
+                    _u8p(src), _u8p(gray), h, w,
+                    ctypes.c_float(np.float32(params["brightness"]))) != 0:
+                raise RuntimeError("native bright+gray op failed")
+            # rotate the single gray plane and replicate to 3 channels
+            # in the same native pass: nearest rotation is a pixel
+            # permutation with fill 0 -> 0, so it commutes with
+            # channel replication
+            starts = px.rotate_fixed_point_starts(
+                float(params["angle"]), w, h)
+            out = np.empty((h, w, 3), np.uint8)
+            if lib.dseg_aug_rotate_gray_rep3(
+                    _u8p(gray), _u8p(out), h, w,
+                    *[ctypes.c_int64(int(v)) for v in starts], 0) != 0:
+                raise RuntimeError("native rotate+rep3 op failed")
+            return out
+        out = _blend(img, _BLEND_BRIGHTNESS, params["brightness"])
         out = _call3(lib.dseg_aug_gray3, out)
         return rotate_nearest(out, params["angle"], fill=0)
     raise ValueError(f"unknown aug_type {aug_type!r}")

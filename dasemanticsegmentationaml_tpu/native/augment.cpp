@@ -266,6 +266,90 @@ int dseg_aug_perspective_nearest(const uint8_t* src, uint8_t* dst,
   return 0;
 }
 
+// Fused CS-HF color path: contrast blend (vs the integer-rounded L
+// mean of SRC), then saturation blend (vs the L plane of the contrast
+// RESULT), then the horizontal flip — one read of src, one mirrored
+// write of dst, no intermediate images. Bit-identical to the three-op
+// sequence adjust_contrast -> adjust_saturation -> hflip
+// (augment_pil_exact.apply_family CS-HF): the per-pixel dataflow is
+// unchanged, only the memory round-trips between ops are removed.
+// src/dst: HWC uint8 RGB, may NOT alias.
+int dseg_aug_cs_hf_fused(const uint8_t* src, uint8_t* dst, int h, int w,
+                         float contrast, float saturation) {
+  if (!src || !dst || h <= 0 || w <= 0) return -1;
+  const long n = static_cast<long>(h) * w;
+  int64_t s = 0;
+  for (long i = 0; i < n; ++i) {
+    const uint8_t* p = src + i * 3;
+    s += luma_int(p[0], p[1], p[2]);
+  }
+  const float mean = static_cast<float>((2 * s + n) / (2 * n));
+  for (int y = 0; y < h; ++y) {
+    const uint8_t* irow = src + static_cast<long>(y) * w * 3;
+    uint8_t* orow = dst + static_cast<long>(y) * w * 3;
+    for (int x = 0; x < w; ++x) {
+      const uint8_t* p = irow + static_cast<long>(x) * 3;
+      const uint8_t c0 = blend1(mean, contrast, p[0]);
+      const uint8_t c1 = blend1(mean, contrast, p[1]);
+      const uint8_t c2 = blend1(mean, contrast, p[2]);
+      const float d = static_cast<float>(luma_int(c0, c1, c2));
+      uint8_t* o = orow + static_cast<long>(w - 1 - x) * 3;
+      o[0] = blend1(d, saturation, c0);
+      o[1] = blend1(d, saturation, c1);
+      o[2] = blend1(d, saturation, c2);
+    }
+  }
+  return 0;
+}
+
+// Fused B-GS-R color path: brightness blend then Grayscale(3) luma in
+// one traversal, emitting the SINGLE gray plane (the three output
+// channels of to_grayscale3 are identical, so the caller rotates this
+// 1-channel plane — 1/3 the rotate traffic — and replicates after;
+// nearest rotation is a pixel permutation with fill 0 -> 0, so
+// rotate(replicate) == replicate(rotate) exactly).
+int dseg_aug_bright_gray1(const uint8_t* src, uint8_t* dst, int h, int w,
+                          float factor) {
+  if (!src || !dst || h <= 0 || w <= 0) return -1;
+  const long n = static_cast<long>(h) * w;
+  for (long i = 0; i < n; ++i) {
+    const uint8_t* p = src + i * 3;
+    const uint8_t b0 = blend1(0.0f, factor, p[0]);
+    const uint8_t b1 = blend1(0.0f, factor, p[1]);
+    const uint8_t b2 = blend1(0.0f, factor, p[2]);
+    dst[i] = static_cast<uint8_t>(luma_int(b0, b1, b2));
+  }
+  return 0;
+}
+
+// Rotate a 1-channel gray plane and replicate to 3 output channels in
+// the same pass (the B-GS-R tail: to_grayscale3's channels are
+// identical, so rotate-then-replicate == replicate-then-rotate with
+// fill 0 -> (0,0,0)). Same 16.16 fixed-point walk as
+// dseg_aug_affine_nearest_fixed.
+int dseg_aug_rotate_gray_rep3(const uint8_t* src, uint8_t* dst, int h,
+                              int w, int64_t xin0, int64_t yin0,
+                              int64_t dxx, int64_t dyy, int64_t dxr,
+                              int64_t dyr, int fill) {
+  if (!src || !dst || h <= 0 || w <= 0) return -1;
+  const uint8_t fillv = static_cast<uint8_t>(fill);
+  for (int y = 0; y < h; ++y) {
+    int64_t xacc = xin0 + static_cast<int64_t>(y) * dxr;
+    int64_t yacc = yin0 + static_cast<int64_t>(y) * dyr;
+    uint8_t* orow = dst + static_cast<long>(y) * w * 3;
+    for (int x = 0; x < w; ++x) {
+      const int64_t xin = (xacc + static_cast<int64_t>(x) * dxx) >> 16;
+      const int64_t yin = (yacc + static_cast<int64_t>(x) * dyy) >> 16;
+      const uint8_t v = (xin < 0 || xin >= w || yin < 0 || yin >= h)
+                            ? fillv
+                            : src[yin * w + xin];
+      uint8_t* o = orow + static_cast<long>(x) * 3;
+      o[0] = v; o[1] = v; o[2] = v;
+    }
+  }
+  return 0;
+}
+
 // Image.rotate(angle, NEAREST, expand=False, fillcolor): Geometry.c's
 // 16.16 fixed-point integer fast path. The six fixed-point start/step
 // values come from Python (augment_pil_exact.rotate_fixed_point_starts

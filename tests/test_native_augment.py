@@ -90,6 +90,34 @@ def test_native_apply_family_matches_numpy(rng):
                 err_msg=f"{menu} label {i}")
 
 
+def test_fused_menu_paths_match_unfused_and_numpy(rng, monkeypatch):
+    """The round-5 single-pass fusions (dseg_aug_cs_hf_fused,
+    dseg_aug_bright_gray1 + 1-channel rotate) must be bit-identical to
+    both the per-op native sequence and the numpy Pillow-exact layer."""
+    if not na._FUSED:
+        pytest.skip("fused symbols not in the built .so")
+    img = rng.integers(0, 256, (64, 96, 3), dtype=np.uint8)
+    sweeps = {
+        "CS-HF": [{"applied": True, "contrast": c, "saturation": s}
+                  for c in (2.0, 3.3, 4.999) for s in (1.0, 1.7, 3.0)],
+        "B-GS-R": [{"applied": True, "brightness": b, "angle": a}
+                   for b in (1.0, 1.5, 2.0) for a in (-90.0, -33.3, 0.0,
+                                                      17.7, 90.0)],
+    }
+    for menu, plist in sweeps.items():
+        for p in plist:
+            fused = na.apply_family(img, menu, p)
+            np.testing.assert_array_equal(
+                fused, px.apply_family(img, menu, p),
+                err_msg=f"fused-vs-numpy {menu} {p}")
+            monkeypatch.setattr(na, "_FUSED", False)
+            unfused = na.apply_family(img, menu, p)
+            monkeypatch.setattr(na, "_FUSED", True)
+            np.testing.assert_array_equal(
+                fused, unfused, err_msg=f"fused-vs-unfused {menu} {p}")
+            assert fused.flags["C_CONTIGUOUS"]
+
+
 def test_host_augment_identical_with_and_without_native(monkeypatch):
     from dasemanticsegmentationaml_tpu.data import HostAugment
     from dasemanticsegmentationaml_tpu.data.datasets import (
