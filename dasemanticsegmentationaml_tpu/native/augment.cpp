@@ -105,6 +105,45 @@ int dseg_aug_hue(const uint8_t* src, uint8_t* dst, int h, int w,
                  int shift_u8) {
   if (!src || !dst || h <= 0 || w <= 0) return -1;
   const long n = static_cast<long>(h) * w;
+  // Per-h2 tables (h2 in [0,255]): sector and fractional part of
+  // x = h2*6/255. Values are EXACTLY what the scalar expressions below
+  // used to compute per pixel (same ops, hoisted); C++11 static-local
+  // init is thread-safe for the Loader's worker threads.
+  struct HueTabs {
+    int sector[256];
+    float f[256];
+    double fs[256];  // (double)((float)sq / 255.0f), indexed by sq
+    // qlut[uv][num] = (float)num / (float)uv — the rc/gc/bc divides
+    // precomputed (num = maxc - channel <= uv, so num <= uv suffices,
+    // but the full square keeps indexing branch-free). 256 KB.
+    float qlut[256][256];
+    // sqlut[uv][maxc] = trunc((double)((float)uv / (float)maxc) * 255)
+    // — the saturation quantization, 64 KB.
+    uint8_t sqlut[256][256];
+    HueTabs() {
+      for (int h2 = 0; h2 < 256; ++h2) {
+        const double x = static_cast<double>(h2) * 6.0 / 255.0;
+        sector[h2] = static_cast<int>(floor(x));
+        f[h2] = static_cast<float>(x - static_cast<double>(sector[h2]));
+      }
+      for (int sq = 0; sq < 256; ++sq)
+        fs[sq] = static_cast<double>(static_cast<float>(sq) / 255.0f);
+      for (int uv = 0; uv < 256; ++uv) {
+        for (int num = 0; num < 256; ++num)
+          qlut[uv][num] = uv ? static_cast<float>(num) /
+                                   static_cast<float>(uv)
+                             : 0.0f;
+        for (int maxc = 1; maxc < 256; ++maxc) {
+          const float s32 =
+              static_cast<float>(uv) / static_cast<float>(maxc);
+          sqlut[uv][maxc] = static_cast<uint8_t>(
+              trunc(static_cast<double>(s32) * 255.0));
+        }
+        sqlut[uv][0] = 0;  // unreachable (uv > 0 implies maxc > 0)
+      }
+    }
+  };
+  static const HueTabs T;
   for (long i = 0; i < n; ++i) {
     const uint8_t* p = src + i * 3;
     uint8_t* o = dst + i * 3;
@@ -118,13 +157,11 @@ int dseg_aug_hue(const uint8_t* src, uint8_t* dst, int h, int w,
       o[0] = v; o[1] = v; o[2] = v;
       continue;
     }
-    // ---- rgb2hsv (quantized planes) ----
-    const float cr = static_cast<float>(uv);
-    const float maxf = static_cast<float>(maxc);  // maxc > 0 here
-    const float s32 = static_cast<float>(uv) / maxf;
-    const float rc = static_cast<float>(maxc - r) / cr;
-    const float gc = static_cast<float>(maxc - g) / cr;
-    const float bc = static_cast<float>(maxc - b) / cr;
+    // ---- rgb2hsv (quantized planes, divides via the exact LUTs) ----
+    const float* qrow = T.qlut[uv];
+    const float rc = qrow[maxc - r];
+    const float gc = qrow[maxc - g];
+    const float bc = qrow[maxc - b];
     double h64;
     if (maxc == r) {
       h64 = static_cast<double>(bc) - static_cast<double>(gc);
@@ -134,12 +171,15 @@ int dseg_aug_hue(const uint8_t* src, uint8_t* dst, int h, int w,
       h64 = 4.0 + static_cast<double>(gc) - static_cast<double>(rc);
     }
     const float hf = static_cast<float>(h64);
-    const float hmod =
-        static_cast<float>(fmod(static_cast<double>(hf) / 6.0 + 1.0, 1.0));
+    // fmod(y, 1.0) with y = hf/6 + 1 in [0, 2): h64 in [-1, 5] exactly
+    // (each of rc/gc/bc is in [0, 1]), so the branch below computes the
+    // SAME bits as fmod — y - 1 is Sterbenz-exact for y in [1, 2)
+    const double y = static_cast<double>(hf) / 6.0 + 1.0;
+    const double hmod64 = y >= 1.0 ? y - 1.0 : y;
+    const float hmod = static_cast<float>(hmod64);
     const int hq =
         static_cast<int>(trunc(static_cast<double>(hmod) * 255.0));
-    const int sq =
-        static_cast<int>(trunc(static_cast<double>(s32) * 255.0));
+    const int sq = T.sqlut[uv][maxc];
     // ---- H-plane uint8 wraparound shift ----
     const int h2 = (hq + shift_u8) & 0xFF;
     // ---- hsv2rgb ----
@@ -148,30 +188,26 @@ int dseg_aug_hue(const uint8_t* src, uint8_t* dst, int h, int w,
       o[0] = v; o[1] = v; o[2] = v;
       continue;
     }
-    const double x = static_cast<double>(h2) * 6.0 / 255.0;
-    const int sector = static_cast<int>(floor(x));
-    const float f = static_cast<float>(x - static_cast<double>(sector));
-    const float fs = static_cast<float>(sq) / 255.0f;
+    const int sector = T.sector[h2];
+    const double f64 = static_cast<double>(T.f[h2]);
+    const double fs64 = T.fs[sq];
     const double vf = static_cast<double>(maxc);
-    // np.round is half-even == rint under the default rounding mode
-    double pd = rint(vf * (1.0 - static_cast<double>(fs)));
-    double qd = rint(vf * (1.0 - static_cast<double>(fs)
-                                     * static_cast<double>(f)));
-    double td = rint(vf * (1.0 - static_cast<double>(fs)
-                                     * (1.0 - static_cast<double>(f))));
-    pd = std::min(std::max(pd, 0.0), 255.0);
-    qd = std::min(std::max(qd, 0.0), 255.0);
-    td = std::min(std::max(td, 0.0), 255.0);
+    // np.round is half-even == rint under the default rounding mode.
+    // No clamps needed: fs, f in [0, 1] so each factor is in [0, 1]
+    // and vf*factor in [0, 255] — rint can't leave [0, 255].
+    const double pd = rint(vf * (1.0 - fs64));
+    const double qd = rint(vf * (1.0 - fs64 * f64));
+    const double td = rint(vf * (1.0 - fs64 * (1.0 - f64)));
     const uint8_t P = static_cast<uint8_t>(pd);
     const uint8_t Q = static_cast<uint8_t>(qd);
-    const uint8_t T = static_cast<uint8_t>(td);
+    const uint8_t T8 = static_cast<uint8_t>(td);
     const uint8_t V = static_cast<uint8_t>(maxc);
     switch (sector % 6) {
-      case 0: o[0] = V; o[1] = T; o[2] = P; break;
+      case 0: o[0] = V; o[1] = T8; o[2] = P; break;
       case 1: o[0] = Q; o[1] = V; o[2] = P; break;
-      case 2: o[0] = P; o[1] = V; o[2] = T; break;
+      case 2: o[0] = P; o[1] = V; o[2] = T8; break;
       case 3: o[0] = P; o[1] = Q; o[2] = V; break;
-      case 4: o[0] = T; o[1] = P; o[2] = V; break;
+      case 4: o[0] = T8; o[1] = P; o[2] = V; break;
       default: o[0] = V; o[1] = P; o[2] = Q; break;
     }
   }
